@@ -18,3 +18,14 @@ A from-scratch re-design of the COLMAP pipeline (reference:
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# JAX's default matmul precision is bfloat16 on TPU (and surprisingly also on
+# some CPU builds), which silently destroys the conditioning of DLT/SVD-based
+# minimal solvers and BA normal equations (measured: 7e-2 abs error on a
+# 64x64 f32 matmul). Geometry/estimation code requires true f32 matmuls
+# (bf16x3 passes on the MXU — still fast). Throughput-critical GEMMs that
+# tolerate bf16 (descriptor matching) opt back in explicitly with
+# `precision=jax.lax.Precision.DEFAULT` / bf16 inputs.
+_jax.config.update("jax_default_matmul_precision", "highest")

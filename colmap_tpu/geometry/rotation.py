@@ -113,13 +113,19 @@ def rotmat_to_quat(m: jax.Array) -> jax.Array:
 
 
 def quat_from_axis_angle(axis_angle: jax.Array) -> jax.Array:
-    """Rotation vector (..., 3) -> quaternion (..., 4)."""
-    angle = jnp.linalg.norm(axis_angle, axis=-1, keepdims=True)
+    """Rotation vector (..., 3) -> quaternion (..., 4).
+
+    Autodiff-safe at zero rotation (the BA/pose-refinement linearization
+    point): the norm is computed through a guarded sqrt so d/d(aa) at 0 is
+    finite, with a Taylor branch for small angles.
+    """
+    n2 = jnp.sum(axis_angle * axis_angle, axis=-1, keepdims=True)
+    small = n2 < 1e-12
+    # guarded sqrt: never differentiates sqrt at 0
+    angle = jnp.sqrt(jnp.where(small, 1.0, n2))
     half = 0.5 * angle
-    # sinc-based small-angle-safe formulation
-    small = angle < 1e-6
-    k = jnp.where(small, 0.5 - angle * angle / 48.0, jnp.sin(half) / jnp.maximum(angle, _EPS))
-    w = jnp.cos(half)
+    k = jnp.where(small, 0.5 - n2 / 48.0, jnp.sin(half) / angle)
+    w = jnp.where(small, 1.0 - n2 / 8.0, jnp.cos(half))
     return jnp.concatenate([w, k * axis_angle], axis=-1)
 
 

@@ -25,22 +25,32 @@ def find_roots_durand_kerner(coeffs: jax.Array, num_iters: int = 60) -> jax.Arra
     D = coeffs.shape[-1] - 1
     lead = coeffs[..., :1]
     lead = jnp.where(jnp.abs(lead) > 1e-12, lead, 1e-12)
-    c = (coeffs / lead).astype(jnp.complex64)  # monic
+    cm = coeffs / lead  # monic, real
 
-    # Initial guesses: scaled roots of unity with an irrational-angle offset
-    # (avoids symmetry stalls), radius from the Cauchy bound.
+    # Rescale z = s*w so roots w are O(1): coefficient i (descending order)
+    # scales by s^-i. Keeps w^D in comfortable float32 range during
+    # iteration (unscaled DK overflows f32 when roots are ~10).
+    cauchy_r = 1.0 + jnp.max(jnp.abs(cm[..., 1:]), axis=-1, keepdims=True)
+    s = jnp.maximum(cauchy_r ** (1.0 / D), 1e-6)
+    powers = jnp.arange(D + 1, dtype=cm.dtype)
+    cm = cm / s**powers
+    c = cm.astype(jnp.complex64)
+
+    # Initial guesses: roots of unity with an irrational-angle offset
+    # (avoids symmetry stalls). Radius ~ scaled Cauchy bound (~O(1)).
     cauchy = 1.0 + jnp.max(jnp.abs(c[..., 1:]), axis=-1, keepdims=True)
     k = jnp.arange(D, dtype=jnp.float32)
     angles = 2.0 * jnp.pi * k / D + 0.4
-    init = (0.5 * cauchy).astype(jnp.complex64) * jnp.exp(1j * angles).astype(jnp.complex64)
+    unit = jax.lax.complex(jnp.cos(angles), jnp.sin(angles))  # complex exp is
+    # unimplemented on some backends; build from cos/sin instead.
+    init = (0.7 * cauchy).astype(jnp.complex64) * unit
 
     def poly_eval(z):
-        # Horner over the last axis of c, broadcast over roots axis
-        def horner(i, acc):
-            return acc * z + c[..., i : i + 1]
-
+        # Horner over the last axis of c (static unroll; D <= ~10 in practice)
         acc = jnp.broadcast_to(c[..., 0:1], z.shape).astype(jnp.complex64)
-        return jax.lax.fori_loop(1, D + 1, horner, acc)
+        for i in range(1, D + 1):
+            acc = acc * z + c[..., i : i + 1]
+        return acc
 
     def step(_, z):
         p = poly_eval(z)
@@ -49,9 +59,15 @@ def find_roots_durand_kerner(coeffs: jax.Array, num_iters: int = 60) -> jax.Arra
         diff = diff + jnp.eye(D, dtype=jnp.complex64)  # diagonal -> 1
         denom = jnp.prod(diff, axis=-1)
         denom = jnp.where(jnp.abs(denom) > 1e-20, denom, 1e-20)
-        return z - p / denom
+        delta = p / denom
+        # trust-region clamp: keeps transient f32 overflows from poisoning
+        # the iteration (roots are O(1) after rescaling)
+        mag = jnp.abs(delta)
+        delta = jnp.where(mag > 1.0, delta / mag, delta)
+        return z - delta
 
-    return jax.lax.fori_loop(0, num_iters, step, init)
+    w = jax.lax.fori_loop(0, num_iters, step, init)
+    return w * s.astype(jnp.complex64)  # undo root scaling
 
 
 def real_roots(coeffs: jax.Array, num_iters: int = 60, imag_tol: float = 1e-4):
@@ -69,11 +85,10 @@ def eval_poly(coeffs: jax.Array, x: jax.Array) -> jax.Array:
     """Evaluate polynomial (highest degree first) at x, broadcasting."""
     D = coeffs.shape[-1]
 
-    def horner(i, acc):
-        return acc * x + coeffs[..., i]
-
-    acc = jnp.broadcast_to(coeffs[..., 0], x.shape) if x.shape != () else coeffs[..., 0]
-    return jax.lax.fori_loop(1, D, horner, acc * jnp.ones_like(x))
+    acc = coeffs[..., 0] * jnp.ones_like(x)
+    for i in range(1, D):
+        acc = acc * x + coeffs[..., i]
+    return acc
 
 
 def cubic_real_roots(c3, c2, c1, c0):

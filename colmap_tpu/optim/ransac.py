@@ -76,7 +76,7 @@ def ransac(
     key: jax.Array,
     solver: Callable,  # (sample_data...) -> (models (M, ...), model_valid (M,))
     residual_fn: Callable,  # (model, data) -> (N,) squared errors
-    refit_fn: Optional[Callable],  # (data, weights (N,)) -> (model, ok)
+    refit_fn: Optional[Callable],  # (model, data, weights (N,)) -> (model, ok)
     data: tuple,  # tuple of arrays with leading axis N
     valid: jax.Array,  # (N,) bool
     sample_size: int,
@@ -124,7 +124,7 @@ def ransac(
         def lo_step(carry, _):
             model, mask, score = carry
             w = jnp.where(mask & valid, 1.0, 0.0)
-            new_model, ok = refit_fn(data, w)
+            new_model, ok = refit_fn(model, data, w)
             new_score, new_mask = score_model(new_model)
             better = ok & (new_score > score)
             model = jnp.where(better, new_model, model)
