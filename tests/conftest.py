@@ -8,7 +8,10 @@ exercised without TPU hardware.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force the CPU backend: the ambient environment pins JAX_PLATFORMS=axon
+# (the tunneled TPU), which would route every eager op through a remote
+# compile — tests must run on the local virtual 8-device CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -19,6 +22,9 @@ if "xla_force_host_platform_device_count" not in flags:
 # ~1s; caching makes repeat test runs fast.
 import jax
 
+# sitecustomize imports jax at interpreter start with JAX_PLATFORMS=axon
+# already captured; config.update overrides the frozen env snapshot.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
