@@ -1,0 +1,136 @@
+"""Image-pair generation strategies.
+
+Reference: src/colmap/feature/pairing.h:177-362 (Exhaustive, Sequential,
+Spatial, Transitive, Imported, VocabTree). Pair generation is cheap host
+logic; the TPU design keeps generators as numpy index producers that feed
+fixed-size pair *blocks* to the batched matcher (the block structure is the
+sharding axis for multi-chip matching).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Iterator, List, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class ExhaustivePairingOptions:
+    block_size: int = 50  # reference default (feature/pairing.h:42)
+
+
+def exhaustive_pairs(image_ids: Sequence[int],
+                     options: ExhaustivePairingOptions = ExhaustivePairingOptions()
+                     ) -> Iterator[List[Tuple[int, int]]]:
+    """Yield lower-triangle pair blocks (reference: ExhaustivePairGenerator)."""
+    ids = list(image_ids)
+    n = len(ids)
+    bs = options.block_size
+    for start1 in range(0, n, bs):
+        end1 = min(start1 + bs, n)
+        for start2 in range(0, end1, bs):
+            end2 = min(start2 + bs, n)
+            block = []
+            for i in range(start1, end1):
+                for j in range(start2, min(end2, i)):
+                    block.append((ids[j], ids[i]))
+            if block:
+                yield block
+
+
+@dataclasses.dataclass
+class SequentialPairingOptions:
+    overlap: int = 10
+    quadratic_overlap: bool = True
+
+
+def sequential_pairs(image_ids_in_name_order: Sequence[int],
+                     options: SequentialPairingOptions = SequentialPairingOptions()
+                     ) -> List[Tuple[int, int]]:
+    """Temporal neighbors: i matched to i+1..i+overlap (+ quadratic jumps).
+
+    Reference: SequentialPairGenerator (feature/pairing.cc).
+    """
+    ids = list(image_ids_in_name_order)
+    pairs = []
+    n = len(ids)
+    for i in range(n):
+        for k in range(1, options.overlap + 1):
+            if i + k < n:
+                pairs.append((ids[i], ids[i + k]))
+            if options.quadratic_overlap:
+                j = i + (1 << k)
+                if j < n and (1 << k) > options.overlap:
+                    pairs.append((ids[i], ids[j]))
+    return sorted(set(tuple(sorted(p)) for p in pairs))
+
+
+@dataclasses.dataclass
+class SpatialPairingOptions:
+    max_num_neighbors: int = 50
+    max_distance: float = 100.0
+    ignore_z: bool = True
+
+
+def spatial_pairs(image_ids: Sequence[int], positions: np.ndarray,
+                  options: SpatialPairingOptions = SpatialPairingOptions()
+                  ) -> List[Tuple[int, int]]:
+    """kNN pairs by position (GPS/ENU or prior positions).
+
+    Reference: SpatialPairGenerator (feature/pairing.cc, FLANN kNN) — here a
+    dense distance matrix + argpartition (the image count is host-scale).
+    """
+    ids = list(image_ids)
+    pos = np.asarray(positions, np.float64).copy()
+    if options.ignore_z and pos.shape[1] >= 3:
+        pos[:, 2] = 0.0
+    n = len(ids)
+    d2 = np.sum((pos[:, None, :] - pos[None, :, :]) ** 2, axis=-1)
+    np.fill_diagonal(d2, np.inf)
+    k = min(options.max_num_neighbors, n - 1)
+    pairs = set()
+    for i in range(n):
+        nbrs = np.argpartition(d2[i], k - 1)[:k] if k > 0 else []
+        for j in nbrs:
+            if d2[i, j] <= options.max_distance**2:
+                pairs.add(tuple(sorted((ids[i], int(ids[j])))))
+    return sorted(pairs)
+
+
+def transitive_pairs(existing_pairs: Sequence[Tuple[int, int]],
+                     batch_size: int = 1000) -> List[Tuple[int, int]]:
+    """2-hop closure of the current match graph.
+
+    Reference: TransitivePairGenerator (feature/pairing.cc).
+    """
+    adj: Dict[int, set] = {}
+    existing = set(tuple(sorted(p)) for p in existing_pairs)
+    for a, b in existing:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    new_pairs = set()
+    for a, nbrs in adj.items():
+        for b in nbrs:
+            for c in adj.get(b, ()):
+                if c != a:
+                    p = tuple(sorted((a, c)))
+                    if p not in existing:
+                        new_pairs.add(p)
+                        if len(new_pairs) >= batch_size:
+                            return sorted(new_pairs)
+    return sorted(new_pairs)
+
+
+def imported_pairs(path: str, name_to_id: Dict[str, int]) -> List[Tuple[int, int]]:
+    """Pair list file: two image names per line (reference: ImportedPairGenerator)."""
+    pairs = []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) != 2:
+                continue
+            a, b = name_to_id.get(parts[0]), name_to_id.get(parts[1])
+            if a is not None and b is not None and a != b:
+                pairs.append(tuple(sorted((a, b))))
+    return sorted(set(pairs))

@@ -1,0 +1,141 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from colmap_tpu.features import matching, pairing
+from colmap_tpu.features.matching import DescriptorBlock, MatchingOptions
+
+
+def make_descriptors(rng, n):
+    return rng.integers(0, 256, size=(n, 128)).astype(np.uint8)
+
+
+def test_similarity_exactness(rng):
+    """int8 GEMM + rank-1 correction must reproduce exact uint8 dots."""
+    d1 = make_descriptors(rng, 40)
+    d2 = make_descriptors(rng, 50)
+    b1 = matching.prepare_descriptors(jnp.array(d1))
+    b2 = matching.prepare_descriptors(jnp.array(d2))
+    sims = np.asarray(matching._cosine_similarities(b1, b2))
+    dots = d1.astype(np.int64) @ d2.astype(np.int64).T
+    n1 = np.linalg.norm(d1.astype(np.float64), axis=1)
+    n2 = np.linalg.norm(d2.astype(np.float64), axis=1)
+    want = dots / (n1[:, None] * n2[None, :])
+    np.testing.assert_allclose(sims, want, atol=1e-5)
+
+
+def test_match_identity(rng):
+    d = make_descriptors(rng, 100)
+    b = matching.prepare_descriptors(jnp.array(d))
+    m = matching.match_descriptors(b, b, MatchingOptions(max_ratio=1.01, max_distance=3.2))
+    np.testing.assert_array_equal(np.asarray(m), np.arange(100))
+
+
+def test_match_permutation_and_padding(rng):
+    d1 = make_descriptors(rng, 64)
+    perm = rng.permutation(64)
+    d2 = np.concatenate([d1[perm], np.zeros((16, 128), np.uint8)])
+    b1 = matching.prepare_descriptors(jnp.array(d1))
+    v2 = jnp.concatenate([jnp.ones(64, bool), jnp.zeros(16, bool)])
+    b2 = matching.prepare_descriptors(jnp.array(d2), valid=v2)
+    m = np.asarray(matching.match_descriptors(b1, b2, MatchingOptions(max_ratio=1.01, max_distance=3.2)))
+    np.testing.assert_array_equal(m, np.argsort(perm))
+
+
+def test_ratio_test_rejects_ambiguous(rng):
+    # d2 contains two equally-noisy copies of each d1 row -> comparable
+    # best/second distances -> the 0.8 ratio test rejects
+    d1 = make_descriptors(rng, 10)
+    n1 = rng.integers(-4, 5, d1.shape)
+    n2 = rng.integers(-4, 5, d1.shape)
+    d2 = np.concatenate(
+        [
+            np.clip(d1.astype(int) + n1, 0, 255).astype(np.uint8),
+            np.clip(d1.astype(int) + n2, 0, 255).astype(np.uint8),
+        ]
+    )
+    b1 = matching.prepare_descriptors(jnp.array(d1))
+    b2 = matching.prepare_descriptors(jnp.array(d2))
+    m = np.asarray(matching.match_descriptors(b1, b2, MatchingOptions(max_ratio=0.8)))
+    assert (m == -1).all()
+
+
+def test_cross_check_rejects_many_to_one(rng):
+    # two d1 rows close to the same d2 row: cross-check keeps at most one
+    d2 = make_descriptors(rng, 20)
+    d1 = d2[:2].copy()
+    d1[1] = np.clip(d1[0].astype(int) + rng.integers(-2, 3, 128), 0, 255).astype(np.uint8)
+    b1 = matching.prepare_descriptors(jnp.array(d1))
+    b2 = matching.prepare_descriptors(jnp.array(d2))
+    m = np.asarray(matching.match_descriptors(b1, b2, MatchingOptions(max_ratio=1.01, cross_check=True)))
+    assert (m == 0).sum() <= 1
+
+
+def test_match_pairs_batch(rng):
+    B, N = 4, 32
+    d = np.stack([make_descriptors(rng, N) for _ in range(B)])
+    b1 = matching.prepare_descriptors(jnp.array(d.reshape(B * N, 128)))
+    blk = DescriptorBlock(
+        centered=b1.centered.reshape(B, N, 128),
+        row_sum=b1.row_sum.reshape(B, N),
+        inv_norm=b1.inv_norm.reshape(B, N),
+        valid=b1.valid.reshape(B, N),
+    )
+    m = matching.match_pairs_batch(blk, blk, MatchingOptions(max_ratio=1.01, max_distance=3.2))
+    assert m.shape == (B, N)
+    np.testing.assert_array_equal(np.asarray(m), np.tile(np.arange(N), (B, 1)))
+
+
+def test_matches_to_pairs():
+    m = np.array([3, -1, 0, -1, 7], dtype=np.int32)
+    pairs = matching.matches_to_pairs(m)
+    np.testing.assert_array_equal(pairs, [[0, 3], [2, 0], [4, 7]])
+
+
+def test_exhaustive_pairs_cover_all():
+    ids = list(range(1, 12))
+    blocks = list(pairing.exhaustive_pairs(ids, pairing.ExhaustivePairingOptions(block_size=4)))
+    pairs = set(p for b in blocks for p in b)
+    want = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            want.add((ids[i], ids[j]))
+    got = set(tuple(sorted(p)) for p in pairs)
+    assert got == want
+    assert len(pairs) == len(want)  # no duplicates
+
+
+def test_sequential_pairs():
+    ids = list(range(1, 21))
+    pairs = pairing.sequential_pairs(ids, pairing.SequentialPairingOptions(overlap=3))
+    assert (1, 2) in pairs and (1, 4) in pairs
+    assert all(a < b for a, b in pairs)
+
+
+def test_spatial_pairs():
+    ids = [1, 2, 3, 4]
+    pos = np.array([[0, 0, 0], [1, 0, 0], [50, 0, 0], [1000, 0, 0]], np.float64)
+    pairs = pairing.spatial_pairs(ids, pos, pairing.SpatialPairingOptions(max_num_neighbors=2, max_distance=100))
+    assert (1, 2) in pairs
+    assert all(4 not in p for p in pairs)  # too far
+
+
+def test_transitive_pairs():
+    existing = [(1, 2), (2, 3)]
+    new = pairing.transitive_pairs(existing)
+    assert (1, 3) in new
+
+
+def test_guided_matching(rng):
+    # identity geometry: F ~ [t]x for pure x-translation; points match along
+    # epipolar lines y1 == y2
+    d1 = make_descriptors(rng, 30)
+    b1 = matching.prepare_descriptors(jnp.array(d1))
+    xy1 = jnp.array(rng.uniform(0, 100, (30, 2)).astype(np.float32))
+    xy2 = xy1 + jnp.array([5.0, 0.0], jnp.float32)  # same rows shifted in x
+    F = jnp.array([[0, 0, 0], [0, 0, -1], [0, 1, 0]], jnp.float32)  # [e_x]_x
+    m = matching.guided_match_descriptors(
+        b1, b1, xy1, xy2, F, max_epipolar_error=2.0,
+        options=MatchingOptions(max_ratio=1.01, max_distance=3.2),
+    )
+    np.testing.assert_array_equal(np.asarray(m), np.arange(30))
