@@ -59,10 +59,17 @@ class Image:
         return int(np.sum(self.point3D_ids >= 0))
 
     def projection_center(self) -> np.ndarray:
-        from colmap_tpu.geometry import rigid3
-        import jax.numpy as jnp
-
-        return np.asarray(rigid3.projection_center(jnp.asarray(self.cam_from_world, dtype=jnp.float64 if self.cam_from_world.dtype == np.float64 else jnp.float32)))
+        # pure numpy (host metadata path; no device round-trip)
+        q = self.cam_from_world[:4] / np.linalg.norm(self.cam_from_world[:4])
+        w, x, y, z = q
+        R = np.array(
+            [
+                [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+                [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+                [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+            ]
+        )
+        return -R.T @ self.cam_from_world[4:7]
 
 
 @dataclasses.dataclass

@@ -213,6 +213,12 @@ def synthesize_dataset(options: SyntheticDatasetOptions,
                 which = rng.choice(len(matches), size=n_out, replace=False)
                 matches[which, 1] = rng.integers(0, len(xys2), size=n_out)
             database.write_matches(iid1, iid2, matches)
+            # the reference's synthetic also stores verified two-view
+            # geometries (scene/synthetic.cc) — the mapper's DatabaseCache
+            # only consumes verified pairs
+            database.write_two_view_geometry(
+                iid1, iid2, matches, config=2  # CALIBRATED
+            )
         database.commit()
 
     return rec
