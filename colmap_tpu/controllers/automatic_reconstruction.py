@@ -1,0 +1,106 @@
+"""One-click reconstruction: images dir -> sparse (and later dense) model.
+
+Reference: src/colmap/controllers/automatic_reconstruction.h:41-126 —
+extract -> match (strategy by data type) -> incremental mapper
+[-> undistort -> stereo -> fusion -> mesh]. Quality presets scale the
+work-bounding knobs the same way the reference does (LOW..EXTREME).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import logging
+import os
+from typing import Optional
+
+from colmap_tpu.controllers import feature_extraction as fe
+from colmap_tpu.controllers import feature_matching as fm
+from colmap_tpu.controllers.incremental_pipeline import (
+    IncrementalPipeline,
+    IncrementalPipelineOptions,
+)
+from colmap_tpu.features import sift as sift_mod
+from colmap_tpu.scene.database import Database
+
+logger = logging.getLogger("colmap_tpu")
+
+
+class DataType(enum.Enum):
+    INDIVIDUAL = "individual"
+    VIDEO = "video"
+    INTERNET = "internet"
+
+
+class Quality(enum.Enum):
+    LOW = "low"
+    MEDIUM = "medium"
+    HIGH = "high"
+    EXTREME = "extreme"
+
+
+@dataclasses.dataclass
+class AutomaticReconstructionOptions:
+    workspace_path: str = ""
+    image_path: str = ""
+    data_type: DataType = DataType.INDIVIDUAL
+    quality: Quality = Quality.HIGH
+    camera_model: str = "SIMPLE_RADIAL"
+    single_camera: bool = False
+    camera_params: str = ""
+    sparse: bool = True
+    dense: bool = False
+    num_threads: int = -1
+
+    def sift_options(self) -> sift_mod.SiftExtractionOptions:
+        # reference quality scaling (automatic_reconstruction.cc)
+        table = {
+            Quality.LOW: (1000, 2048),
+            Quality.MEDIUM: (1600, 4096),
+            Quality.HIGH: (2400, 8192),
+            Quality.EXTREME: (3200, 8192),
+        }
+        max_size, max_feats = table[self.quality]
+        return sift_mod.SiftExtractionOptions(
+            max_image_size=max_size, max_num_features=max_feats)
+
+
+def run_automatic_reconstruction(
+    options: AutomaticReconstructionOptions,
+    mapper_options: Optional[IncrementalPipelineOptions] = None,
+    seed: int = 0,
+):
+    """Returns (reconstruction | None, database)."""
+    os.makedirs(options.workspace_path, exist_ok=True)
+    db_path = os.path.join(options.workspace_path, "database.db")
+    database = Database(db_path)
+
+    reader = fe.ImageReaderOptions(
+        camera_model=options.camera_model,
+        single_camera=options.single_camera,
+        camera_params=options.camera_params,
+    )
+    logger.info("=== feature extraction ===")
+    fe.run_feature_extraction(database, options.image_path, reader,
+                              options.sift_options())
+
+    logger.info("=== feature matching ===")
+    match_opts = fm.FeatureMatchingOptions()
+    if options.data_type == DataType.VIDEO:
+        fm.match_sequential(database, match_opts, seed=seed)
+    else:
+        fm.match_exhaustive(database, match_opts, seed=seed)
+
+    rec = None
+    if options.sparse:
+        logger.info("=== incremental mapping ===")
+        pipeline = IncrementalPipeline(
+            database, mapper_options or IncrementalPipelineOptions())
+        rec = pipeline.run(seed=seed)
+        if rec is not None:
+            sparse_dir = os.path.join(options.workspace_path, "sparse", "0")
+            os.makedirs(sparse_dir, exist_ok=True)
+            from colmap_tpu.scene import reconstruction_io
+
+            reconstruction_io.write_model(rec, sparse_dir, ext=".bin")
+    return rec, database

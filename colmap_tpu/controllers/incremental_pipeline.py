@@ -53,15 +53,25 @@ class IncrementalPipeline:
         )
         if len(cache.images) < 2:
             return None
-        mapper = IncrementalMapper(cache, self.options.mapper, seed=seed)
-
-        pair, g = mapper.find_initial_image_pair()
-        if pair is None:
-            logger.warning("no good initial pair found")
-            return None
-        logger.info("initializing with pair %s (%d inliers)", pair, int(g.num_inliers))
-        if not mapper.register_initial_image_pair(pair[0], pair[1], g):
-            logger.warning("initial pair triangulation failed")
+        # retry initialization with the next-best pair on failure
+        # (reference: init_num_trials / max_reg_trials re-init loop,
+        # controllers/incremental_mapper.cc:474-540)
+        mapper = None
+        tried = set()
+        for _ in range(self.options.init_num_trials):
+            candidate = IncrementalMapper(cache, self.options.mapper, seed=seed)
+            pair, g = candidate.find_initial_image_pair(exclude=tried)
+            if pair is None:
+                logger.warning("no good initial pair found")
+                return None
+            logger.info("initializing with pair %s (%d inliers)",
+                        pair, int(g.num_inliers))
+            if candidate.register_initial_image_pair(pair[0], pair[1], g):
+                mapper = candidate
+                break
+            logger.warning("initial pair %s triangulation failed, retrying", pair)
+            tried.add(pair)
+        if mapper is None:
             return None
         mapper.adjust_global_bundle()
         mapper.filter_points()

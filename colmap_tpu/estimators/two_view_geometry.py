@@ -167,9 +167,13 @@ def recover_relative_pose(config, E, H, rays1, rays2, inlier_mask, mean_focal):
     E -> cheirality-voted decomposition; H -> Malis-Vargas decomposition.
     """
     pose_E, _, _ = pose_from_essential_matrix(E, rays1, rays2, inlier_mask)
-    pose_H, _, _ = pose_from_homography(
-        _normalized_H(H, mean_focal), rays1, rays2, inlier_mask
-    )
+    # The pixel-space H cannot be mapped to normalized coords with the mean
+    # focal alone (the principal point matters). Refit the homography
+    # directly on the normalized rays over the inlier set — the exact
+    # analog of the reference decomposing K2^-1 H K1
+    # (geometry/homography_matrix.cc PoseFromHomographyMatrix).
+    H_norm, _ = hm.refit(H, (rays1, rays2), inlier_mask.astype(rays1.dtype))
+    pose_H, _, _ = pose_from_homography(H_norm, rays1, rays2, inlier_mask)
     use_H = config == int(TwoViewConfig.PLANAR_OR_PANORAMIC)
     pose = jnp.where(use_H, pose_H, pose_E)
 

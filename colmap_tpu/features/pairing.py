@@ -134,3 +134,27 @@ def imported_pairs(path: str, name_to_id: Dict[str, int]) -> List[Tuple[int, int
             if a is not None and b is not None and a != b:
                 pairs.append(tuple(sorted((a, b))))
     return sorted(set(pairs))
+
+
+def spatial_pairs_from_database(database,
+                                options: SpatialPairingOptions = SpatialPairingOptions()
+                                ) -> List[Tuple[int, int]]:
+    """Spatial pairs from pose priors stored in the database.
+
+    Reference: SpatialPairGenerator reading pose_priors / GPS
+    (feature/pairing.cc). WGS84 coordinates are converted to a local ENU
+    frame first (geometry/gps.py).
+    """
+    import jax.numpy as jnp
+
+    from colmap_tpu.geometry import gps
+
+    priors = database.read_pose_priors()
+    ids = sorted(priors.keys())
+    if len(ids) < 2:
+        return []
+    pos = np.stack([np.asarray(priors[i]["position"], np.float64) for i in ids])
+    system = priors[ids[0]].get("coordinate_system", 0)
+    if system == 1:  # WGS84 lat/lon/alt
+        pos = np.asarray(gps.ell_to_enu(jnp.asarray(pos)))
+    return spatial_pairs(ids, pos, options)

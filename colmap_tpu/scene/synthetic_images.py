@@ -1,0 +1,147 @@
+"""Pixel-level synthetic dataset: render textured 3D scenes to images.
+
+Complements the feature-level SyntheticDataset (scene/synthetic.py; reference
+src/colmap/scene/synthetic.h) with a renderer that produces actual images,
+so the FULL pipeline — SIFT extraction, matching, verification, mapping —
+can be tested end-to-end against ground-truth poses (the pixel-level analog
+of the reference's ETH3D CI gate, scripts/python/benchmark_eth3d.py).
+
+The scene is a textured axis-aligned room (floor + two walls); every face is
+planar, so each face renders into each view with one homography — exact,
+anti-aliased by bilinear warping, no mesh rasterizer needed. Three mutually
+orthogonal planes give well-conditioned non-planar structure for two-view
+initialization.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class RoomDatasetOptions:
+    num_images: int = 8
+    width: int = 384
+    height: int = 288
+    focal: float = 320.0
+    room_size: float = 4.0
+    texture_res: int = 512
+    seed: int = 3
+
+
+def _texture(rng, n: int) -> np.ndarray:
+    """Multi-scale random texture with strong local structure."""
+    img = np.zeros((n, n), np.float32)
+    for cell in (n // 4, n // 8, n // 16, n // 32):
+        g = rng.normal(0, 1, (n // cell, n // cell)).astype(np.float32)
+        gi = np.kron(g, np.ones((cell, cell), np.float32))
+        img += gi * cell / n * 4
+    # bilinear smooth once to avoid pure blocks
+    img = 0.25 * (img + np.roll(img, 1, 0) + np.roll(img, 1, 1)
+                  + np.roll(np.roll(img, 1, 0), 1, 1))
+    img = (img - img.min()) / (img.max() - img.min() + 1e-9)
+    return (img * 255).astype(np.uint8)
+
+
+def _lookat(center: np.ndarray, target: np.ndarray, up=(0.0, -1.0, 0.0)):
+    z = target - center
+    z = z / np.linalg.norm(z)
+    up = np.asarray(up, np.float64)
+    x = np.cross(up, z)
+    x /= np.linalg.norm(x)
+    y = np.cross(z, x)
+    R = np.stack([x, y, z])  # world->cam rows
+    t = -R @ center
+    return R, t
+
+
+def _warp_face(texture: np.ndarray, K, R, t, P0, e1, e2, out_shape):
+    """Render one planar face via inverse homography (bilinear sampling).
+
+    The face is P(u, v) = P0 + u*e1 + v*e2, (u, v) in [0, 1]^2; texture
+    coords map linearly onto (u, v).
+    """
+    h, w = out_shape
+    tn = texture.shape[0]
+    # forward homography: [u, v, 1] -> image pixel
+    M = K @ np.stack([R @ e1, R @ e2, R @ P0 + t], axis=1)  # 3x3
+    ok = abs(np.linalg.det(M)) > 1e-12
+    if not ok:
+        return np.zeros(out_shape, np.float32), np.zeros(out_shape, bool)
+    Minv = np.linalg.inv(M)
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
+    pix = np.stack([xs, ys, np.ones_like(xs)], axis=-1) @ Minv.T
+    wz = pix[..., 2]
+    u = pix[..., 0] / np.where(np.abs(wz) < 1e-12, 1e-12, wz)
+    v = pix[..., 1] / np.where(np.abs(wz) < 1e-12, 1e-12, wz)
+    # depth of the 3D point (camera z) must be positive
+    P = (P0[None, None] + u[..., None] * e1[None, None]
+         + v[..., None] * e2[None, None])
+    z_cam = (P @ R.T + t)[..., 2]
+    valid = (u >= 0) & (u < 1) & (v >= 0) & (v < 1) & (z_cam > 1e-6)
+    tu = np.clip(u * (tn - 1), 0, tn - 1.000001)
+    tv = np.clip(v * (tn - 1), 0, tn - 1.000001)
+    u0 = tu.astype(np.int32)
+    v0 = tv.astype(np.int32)
+    fu = (tu - u0).astype(np.float32)
+    fv = (tv - v0).astype(np.float32)
+    tex = texture.astype(np.float32)
+    val = ((1 - fv) * ((1 - fu) * tex[v0, u0] + fu * tex[v0, u0 + 1])
+           + fv * ((1 - fu) * tex[v0 + 1, u0] + fu * tex[v0 + 1, u0 + 1]))
+    return np.where(valid, val, 0.0).astype(np.float32), valid
+
+
+def render_room_dataset(options: RoomDatasetOptions = RoomDatasetOptions()
+                        ) -> Tuple[List[np.ndarray], np.ndarray, np.ndarray, np.ndarray]:
+    """Render the room from a camera arc.
+
+    Returns (images_u8, K, R_w2c [N,3,3], t_w2c [N,3]).
+    """
+    rng = np.random.default_rng(options.seed)
+    s = options.room_size
+    w, h = options.width, options.height
+    K = np.array([[options.focal, 0, w / 2.0],
+                  [0, options.focal, h / 2.0],
+                  [0, 0, 1.0]])
+
+    # faces: back wall (z=+s), right wall (x=+s), floor (y=+s/2)
+    faces = [
+        (np.array([-s, -s / 2, s]), np.array([2 * s, 0, 0]), np.array([0.0, s, 0])),
+        (np.array([s, -s / 2, s]), np.array([0, 0, -2 * s]), np.array([0.0, s, 0])),
+        (np.array([-s, s / 2, s]), np.array([2 * s, 0, 0]), np.array([0, 0, -2 * s])),
+    ]
+    textures = [_texture(rng, options.texture_res) for _ in faces]
+
+    images, Rs, ts = [], [], []
+    n = options.num_images
+    for i in range(n):
+        a = (i / max(n - 1, 1) - 0.5) * 0.9  # arc parameter
+        center = np.array([a * s, -0.1 * s + 0.05 * s * np.sin(3 * a),
+                           -s + 0.3 * s * abs(a)])
+        target = np.array([0.3 * a * s, 0.0, s])
+        R, t = _lookat(center, target)
+        img = np.zeros((h, w), np.float32)
+        for tex, (P0, e1, e2) in zip(textures, faces):
+            val, valid = _warp_face(tex, K, R, t, P0, e1, e2, (h, w))
+            img = np.where(valid, val, img)
+        images.append(np.clip(img, 0, 255).astype(np.uint8))
+        Rs.append(R)
+        ts.append(t)
+    return images, K, np.stack(Rs), np.stack(ts)
+
+
+def write_dataset(image_dir: str, images: List[np.ndarray]) -> List[str]:
+    import os
+
+    from colmap_tpu.sensor import bitmap
+
+    os.makedirs(image_dir, exist_ok=True)
+    names = []
+    for i, img in enumerate(images):
+        name = f"image{i:04d}.png"
+        bitmap.write_bitmap(os.path.join(image_dir, name), img)
+        names.append(name)
+    return names

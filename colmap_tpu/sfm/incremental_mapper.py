@@ -190,7 +190,7 @@ class IncrementalMapper:
         return out
 
     # -- initial pair --------------------------------------------------------
-    def find_initial_image_pair(self, max_candidates: int = 50):
+    def find_initial_image_pair(self, max_candidates: int = 50, exclude=()):
         """Rank pairs by correspondence count; verify with the fused two-view
         program; gate on inliers + triangulation angle + forward motion.
 
@@ -206,13 +206,22 @@ class IncrementalMapper:
             max_error_px=self.options.init_max_error,
             compute_relative_pose=True,
         )
+        exclude = set(exclude)
         for (i1, i2) in pairs:
+            if (i1, i2) in exclude or (i2, i1) in exclude:
+                continue
             g = self._estimate_pair_geometry(i1, i2, opts)
             if g is None:
                 continue
             if int(g.config) not in (
                 int(tvg.TwoViewConfig.CALIBRATED),
                 int(tvg.TwoViewConfig.UNCALIBRATED),
+                # planar/panoramic pairs initialize via homography
+                # decomposition (reference: PoseFromHomographyMatrix path in
+                # EstimateTwoViewGeometryPose); the tri-angle and
+                # forward-motion gates below still reject panoramic pairs.
+                int(tvg.TwoViewConfig.PLANAR),
+                int(tvg.TwoViewConfig.PLANAR_OR_PANORAMIC),
             ):
                 continue
             if int(g.num_inliers) < self.options.init_min_num_inliers:
