@@ -103,4 +103,19 @@ def run_automatic_reconstruction(
             from colmap_tpu.scene import reconstruction_io
 
             reconstruction_io.write_model(rec, sparse_dir, ext=".bin")
+
+    if options.dense and rec is not None:
+        logger.info("=== dense reconstruction ===")
+        from colmap_tpu.controllers import dense_reconstruction as dense
+        from colmap_tpu.image import undistortion as und
+        from colmap_tpu.mvs import fusion as fusion_mod
+        from colmap_tpu.mvs import meshing as meshing_mod
+
+        dense_dir = os.path.join(options.workspace_path, "dense")
+        und.run_undistorter(rec, options.image_path, dense_dir)
+        dense.run_patch_match_stereo(dense_dir)
+        dense.run_stereo_fusion(dense_dir)
+        dense.run_poisson_mesher(
+            os.path.join(dense_dir, "fused.ply"),
+            os.path.join(dense_dir, "meshed-poisson.ply"))
     return rec, database

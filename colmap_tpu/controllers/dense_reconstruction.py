@@ -1,0 +1,183 @@
+"""Dense MVS controllers: patch-match stereo, fusion, meshing over a
+COLMAP-layout workspace.
+
+Reference entry points: RunPatchMatchStereo (exe/mvs.cc:78), RunStereoFuser
+(:136), RunPoissonMesher (:120), RunDelaunayMesher (:41); the orchestration
+mirrors PatchMatchController (mvs/patch_match.cc:193-430) — per-reference
+problems with '__auto__' source selection — but problems run as batched
+device programs instead of per-GPU threads. Workspace layout follows
+doc/format.rst:160-188:
+
+    workspace/
+      images/               undistorted images
+      sparse/               undistorted PINHOLE model
+      stereo/depth_maps/<image>.photometric.bin
+      stereo/normal_maps/<image>.photometric.bin
+      fused.ply
+      meshed-poisson.ply
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from colmap_tpu.mvs import depth_map as dm
+from colmap_tpu.mvs import fusion as fusion_mod
+from colmap_tpu.mvs import meshing as meshing_mod
+from colmap_tpu.mvs import model as model_mod
+from colmap_tpu.mvs import patch_match as pm
+
+logger = logging.getLogger("colmap_tpu")
+
+
+@dataclasses.dataclass
+class PatchMatchStereoOptions:
+    patch_match: pm.PatchMatchOptions = dataclasses.field(
+        default_factory=pm.PatchMatchOptions)
+    max_num_src_images: int = 8
+    geom_consistency: bool = True  # second pass like the reference default
+    max_image_size: int = -1
+
+
+def _load_workspace(workspace_path: str):
+    from colmap_tpu.scene import reconstruction_io
+    from colmap_tpu.sensor import bitmap as bitmap_mod
+
+    rec = reconstruction_io.read_model(os.path.join(workspace_path, "sparse"))
+    model = model_mod.build_model(rec)
+    images = {}
+    for iid, im in model.images.items():
+        path = os.path.join(workspace_path, "images", im.name)
+        images[iid] = bitmap_mod.read_bitmap(path).data
+    return rec, model, images
+
+
+def _suffix_path(workspace_path: str, kind: str, name: str, suffix: str) -> str:
+    return os.path.join(workspace_path, "stereo", kind, f"{name}.{suffix}.bin")
+
+
+def run_patch_match_stereo(workspace_path: str,
+                           options: PatchMatchStereoOptions = PatchMatchStereoOptions(),
+                           seed: int = 0) -> Dict[int, np.ndarray]:
+    """Compute photometric (+ geometric) depth/normal maps for all images."""
+    rec, model, images = _load_workspace(workspace_path)
+    key = jax.random.PRNGKey(seed)
+
+    def solve_all(geom: bool, prior: Dict[int, np.ndarray]):
+        depths, normals = {}, {}
+        for ref_id, im in sorted(model.images.items()):
+            srcs = model.src_images(ref_id, options.max_num_src_images)
+            if not srcs:
+                logger.warning("image %d has no source images", ref_id)
+                continue
+            dmin, dmax = model.depth_ranges[ref_id]
+            R_ref, t_ref = im.R, im.t
+            R_rel = np.stack([model.images[s].R @ R_ref.T for s in srcs])
+            t_rel = np.stack([model.images[s].t - R_rel[i] @ t_ref
+                              for i, s in enumerate(srcs)])
+            src_depths = None
+            if geom:
+                src_depths = jnp.asarray(np.stack(
+                    [prior.get(s, np.zeros_like(images[s])) for s in srcs]),
+                    jnp.float32)
+            problem = pm.PatchMatchProblem(
+                ref_image=jnp.asarray(images[ref_id], jnp.float32),
+                src_images=jnp.asarray(
+                    np.stack([images[s] for s in srcs]), jnp.float32),
+                K_ref=jnp.asarray(im.K, jnp.float32),
+                K_src=jnp.asarray(np.stack([model.images[s].K for s in srcs]),
+                                  jnp.float32),
+                R_rel=jnp.asarray(R_rel, jnp.float32),
+                t_rel=jnp.asarray(t_rel, jnp.float32),
+                depth_min=jnp.asarray(dmin * 0.8, jnp.float32),
+                depth_max=jnp.asarray(dmax * 1.2, jnp.float32),
+                src_depths=src_depths,
+            )
+            po = dataclasses.replace(options.patch_match,
+                                     geom_consistency=geom)
+            nonlocal key
+            key, sub = jax.random.split(key)
+            depth, normal, cost = jax.tree.map(
+                np.asarray, pm.patch_match(sub, problem, po))
+            depths[ref_id] = depth
+            normals[ref_id] = normal
+            logger.info("patch-match %s (%s): %.0f%% estimated",
+                        im.name, "geom" if geom else "photo",
+                        100.0 * float((depth > 0).mean()))
+        return depths, normals
+
+    depths, normals = solve_all(False, {})
+    if options.geom_consistency:
+        depths, normals = solve_all(True, depths)
+
+    for ref_id, im in model.images.items():
+        if ref_id not in depths:
+            continue
+        suffix = "geometric" if options.geom_consistency else "photometric"
+        dm.DepthMap(depths[ref_id]).write(
+            _suffix_path(workspace_path, "depth_maps", im.name, suffix))
+        dm.NormalMap(normals[ref_id]).write(
+            _suffix_path(workspace_path, "normal_maps", im.name, suffix))
+    return depths
+
+
+def run_stereo_fusion(workspace_path: str,
+                      options: fusion_mod.StereoFusionOptions = fusion_mod.StereoFusionOptions(),
+                      input_type: str = "geometric",
+                      output_path: Optional[str] = None) -> Dict[str, np.ndarray]:
+    """Fuse depth/normal maps into fused.ply (reference: RunStereoFuser)."""
+    rec, model, images = _load_workspace(workspace_path)
+    depths, normals = {}, {}
+    for iid, im in model.images.items():
+        p = _suffix_path(workspace_path, "depth_maps", im.name, input_type)
+        if not os.path.exists(p):
+            p = _suffix_path(workspace_path, "depth_maps", im.name, "photometric")
+        if not os.path.exists(p):
+            continue
+        depths[iid] = dm.DepthMap.read(p).data
+        np_ = p.replace("depth_maps", "normal_maps")
+        normals[iid] = dm.NormalMap.read(np_).data
+    cloud = fusion_mod.fuse(model, depths, normals, images, options)
+    out = output_path or os.path.join(workspace_path, "fused.ply")
+    fusion_mod.write_ply(out, cloud["xyz"], cloud["normal"], cloud["color"])
+    logger.info("fused %d points -> %s", len(cloud["xyz"]), out)
+    return cloud
+
+
+def run_poisson_mesher(input_ply: str, output_ply: str,
+                       options: meshing_mod.PoissonMeshingOptions = meshing_mod.PoissonMeshingOptions()):
+    """reference: RunPoissonMesher (exe/mvs.cc:120)."""
+    cloud = fusion_mod.read_ply(input_ply)
+    verts, faces = meshing_mod.poisson_mesh(
+        cloud["xyz"], cloud.get("normal", np.zeros_like(cloud["xyz"])), options)
+    meshing_mod.write_mesh_ply(output_ply, verts, faces)
+    logger.info("meshed %d vertices / %d faces -> %s",
+                len(verts), len(faces), output_ply)
+    return verts, faces
+
+
+def run_delaunay_mesher(workspace_path: str, output_ply: str,
+                        input_ply: Optional[str] = None):
+    """reference: RunDelaunayMesher (exe/mvs.cc:41) — dense variant."""
+    from colmap_tpu.scene import reconstruction_io
+
+    cloud = fusion_mod.read_ply(
+        input_ply or os.path.join(workspace_path, "fused.ply"))
+    rec = reconstruction_io.read_model(os.path.join(workspace_path, "sparse"))
+    model = model_mod.build_model(rec)
+    centers = np.stack([im.center() for im in model.images.values()])
+    # subsample for the tetrahedralization
+    xyz = cloud["xyz"]
+    if len(xyz) > 20000:
+        sel = np.random.default_rng(0).choice(len(xyz), 20000, replace=False)
+        xyz = xyz[sel]
+    verts, faces = meshing_mod.delaunay_mesh(xyz, centers)
+    meshing_mod.write_mesh_ply(output_ply, verts, faces)
+    return verts, faces

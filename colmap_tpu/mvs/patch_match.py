@@ -1,0 +1,377 @@
+"""PatchMatch multi-view stereo — TPU-native.
+
+Reference: src/colmap/mvs/patch_match.h:57-205 and the CUDA solver
+src/colmap/mvs/patch_match_cuda.cu (1,888 LoC): bilateral-NCC photometric
+cost (PhotoConsistencyCostComputer :411), plane hypotheses (depth + normal),
+sequential 4-direction sweep propagation (SweepFromTopToBottom :896), Monte
+Carlo source-image sampling, optional geometric consistency.
+
+TPU re-design — NOT a sweep translation:
+
+- **Checkerboard (red-black) propagation** instead of sequential sweeps:
+  every half-iteration updates half the pixels from the plane hypotheses of
+  their 4 neighbors, in ONE dense data-parallel program. The reference's
+  sweep is inherently serial along the sweep axis (a bad fit for a 8x128
+  VPU); the checkerboard scheme (used by GPU PatchMatch derivatives like
+  Gipuma/ACMH) converges comparably and keeps the whole image resident as
+  dense arrays.
+- The plane-induced warp is evaluated in closed form per pixel and window
+  offset: H_p q = A q - (K2 t) ((K1^-T n_p) . q) / (n_p . X_p) with
+  A = K2 R K1^-1 — so a candidate's photometric cost for ALL pixels and ALL
+  window samples is one fused elementwise program + one bilinear gather
+  ([H, W, P] coordinates), vmapped over sources.
+- Control flow is compiler-friendly: `lax.scan` over the candidate set
+  (bounding peak memory to one [S, H, W, P] patch block), `lax.fori_loop`
+  over iterations — the whole solver is a single compiled program.
+- Bilateral-weighted NCC, aggregated over sources by trimmed mean
+  (replacing the reference's sequential MC sampling state machine).
+- Optional geometric-consistency term: forward-backward reprojection error
+  against source depth maps (reference LikelihoodComputer :656, weight 0.3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_F32 = jnp.float32
+
+
+@dataclasses.dataclass(frozen=True)
+class PatchMatchOptions:
+    """Mirrors PatchMatchOptions (reference: mvs/patch_match.h:57-130)."""
+
+    window_radius: int = 3
+    window_step: int = 1
+    sigma_color: float = 0.2
+    sigma_spatial: float = 3.0
+    num_iterations: int = 5
+    num_perturbations: int = 2
+    # fine perturbation-only passes after the propagation loop (improves
+    # depth precision; the reference gets this from its per-pixel random
+    # refinement inside each sweep)
+    num_refinement_iterations: int = 3
+    top_k: int = 2  # trimmed-mean aggregation over sources
+    geom_consistency: bool = False
+    geom_consistency_regularizer: float = 0.3  # reference default
+    geom_consistency_max_cost: float = 3.0  # reference default
+    filter: bool = True
+    filter_min_ncc: float = 0.1  # reference default
+
+
+class PatchMatchProblem(NamedTuple):
+    """One reference image + its sources (device arrays)."""
+
+    ref_image: jax.Array  # [H, W] f32 in [0, 1]
+    src_images: jax.Array  # [S, H, W]
+    K_ref: jax.Array  # [3, 3]
+    K_src: jax.Array  # [S, 3, 3]
+    R_rel: jax.Array  # [S, 3, 3] src_from_ref rotation
+    t_rel: jax.Array  # [S, 3]
+    depth_min: jax.Array  # scalar
+    depth_max: jax.Array  # scalar
+    src_depths: Optional[jax.Array] = None  # [S, H, W] for geom consistency
+
+
+def _window_offsets(radius: int, step: int) -> np.ndarray:
+    r = np.arange(-radius, radius + 1, step)
+    oy, ox = np.meshgrid(r, r, indexing="ij")
+    return np.stack([oy.reshape(-1), ox.reshape(-1)], -1).astype(np.float32)
+
+
+def _bilinear(img: jax.Array, ys: jax.Array, xs: jax.Array):
+    """Sample [H, W] at float coords of any shape; (value, in_bounds)."""
+    h, w = img.shape
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    fy = ys - y0
+    fx = xs - x0
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+    inb = (ys >= 0) & (ys <= h - 1) & (xs >= 0) & (xs <= w - 1)
+    flat = img.reshape(-1)
+
+    def tap(yi, xi, wgt):
+        yc = jnp.clip(yi, 0, h - 1)
+        xc = jnp.clip(xi, 0, w - 1)
+        return jnp.take(flat, yc * w + xc) * wgt
+
+    v = (tap(y0i, x0i, (1 - fy) * (1 - fx)) + tap(y0i, x0i + 1, (1 - fy) * fx)
+         + tap(y0i + 1, x0i, fy * (1 - fx)) + tap(y0i + 1, x0i + 1, fy * fx))
+    return jnp.where(inb, v, 0.0), inb
+
+
+class _Precomp(NamedTuple):
+    rays: jax.Array  # [H, W, 3]
+    pix: jax.Array  # [H, W, 2]
+    ref_patch: jax.Array  # [H, W, P]
+    bil_w: jax.Array  # [H, W, P]
+    offs: jax.Array  # [P, 2] (oy, ox)
+    Kinv: jax.Array  # [3, 3]
+
+
+def _precompute(problem: PatchMatchProblem, opts: PatchMatchOptions) -> _Precomp:
+    ref = problem.ref_image
+    h, w = ref.shape
+    offsets = _window_offsets(opts.window_radius, opts.window_step)
+    offs = jnp.asarray(offsets)
+    ys, xs = jnp.mgrid[0:h, 0:w]
+    pix = jnp.stack([xs.astype(_F32) + 0.5, ys.astype(_F32) + 0.5], axis=-1)
+    Kinv = jnp.linalg.inv(problem.K_ref)
+    rays = jnp.concatenate([pix, jnp.ones((h, w, 1), _F32)], -1) @ Kinv.T
+
+    # ref patches via one gather over [H, W, P] integer coords
+    py = ys[..., None] + offs[None, None, :, 0].astype(jnp.int32)
+    px = xs[..., None] + offs[None, None, :, 1].astype(jnp.int32)
+    inb = (py >= 0) & (py < h) & (px >= 0) & (px < w)
+    idx = jnp.clip(py, 0, h - 1) * w + jnp.clip(px, 0, w - 1)
+    ref_patch = jnp.where(inb, jnp.take(ref.reshape(-1), idx), 0.0)
+
+    # bilateral weights (reference: PhotoConsistencyCostComputer :411)
+    col = jnp.exp(-(ref_patch - ref[..., None]) ** 2
+                  / (2 * opts.sigma_color ** 2))
+    sp = np.exp(-(offsets[:, 0] ** 2 + offsets[:, 1] ** 2)
+                / (2 * opts.sigma_spatial ** 2)).astype(np.float32)
+    bil_w = col * jnp.asarray(sp)[None, None, :] * inb
+    return _Precomp(rays=rays, pix=pix, ref_patch=ref_patch, bil_w=bil_w,
+                    offs=offs, Kinv=Kinv)
+
+
+def _cost_fn(problem: PatchMatchProblem, pre: _Precomp,
+             opts: PatchMatchOptions):
+    """Returns cost(depth, normal) -> [H, W] (jit-traceable closure)."""
+
+    h, w = problem.ref_image.shape
+    P = pre.offs.shape[0]
+
+    def per_src(src_img, K_s, R_s, t_s, src_depth, depth, normal, X,
+                ndotX, m):
+        A = K_s @ R_s @ pre.Kinv  # [3, 3]
+        b = K_s @ t_s  # [3]
+        px = pre.pix[..., 0]
+        py = pre.pix[..., 1]
+        Ap = (A[None, None, :, 0] * px[..., None]
+              + A[None, None, :, 1] * py[..., None] + A[None, None, :, 2])
+        mq0 = m[..., 0] * px + m[..., 1] * py + m[..., 2]  # [H, W]
+        # all window samples at once: [H, W, P, 3]
+        Aq = (Ap[..., None, :]
+              + pre.offs[None, None, :, 1, None] * A[None, None, None, :, 0]
+              + pre.offs[None, None, :, 0, None] * A[None, None, None, :, 1])
+        mq = (mq0[..., None] + pre.offs[None, None, :, 1] * m[..., 0:1]
+              + pre.offs[None, None, :, 0] * m[..., 1:2])  # [H, W, P]
+        # plane {X : n.X = ndotX}; ray X = l K1inv q  =>  l = ndotX / (m.q)
+        # x_src ~ K2 (R X + t) = (A + b m^T / ndotX) q
+        Hq = Aq + b[None, None, None, :] * (mq / ndotX[..., None])[..., None]
+        z = jnp.where(jnp.abs(Hq[..., 2]) < 1e-9, 1e-9, Hq[..., 2])
+        sx = Hq[..., 0] / z
+        sy = Hq[..., 1] / z
+        v, inb = _bilinear(src_img, sy, sx)  # [H, W, P]
+        valid = (inb & (z > 0)).astype(_F32)
+
+        wgt = pre.bil_w * valid
+        sw = jnp.maximum(jnp.sum(wgt, -1), 1e-6)
+        rp = pre.ref_patch
+        mu_r = jnp.sum(wgt * rp, -1) / sw
+        mu_s = jnp.sum(wgt * v, -1) / sw
+        var_r = jnp.sum(wgt * rp * rp, -1) / sw - mu_r * mu_r
+        var_s = jnp.sum(wgt * v * v, -1) / sw - mu_s * mu_s
+        cov = jnp.sum(wgt * rp * v, -1) / sw - mu_r * mu_s
+        ncc = cov * jax.lax.rsqrt(jnp.maximum(var_r * var_s, 1e-10))
+        cost = jnp.clip(1.0 - ncc, 0.0, 2.0)
+        frac = jnp.sum(valid, -1) / P
+        cost = jnp.where((frac > 0.5) & (var_r > 1e-8), cost, 2.0)
+
+        if opts.geom_consistency and problem.src_depths is not None:
+            cost = cost + opts.geom_consistency_regularizer * _geom_cost(
+                problem, K_s, R_s, t_s, src_depth, X, pre.pix, opts)
+        return cost
+
+    def cost(depth, normal):
+        X = depth[..., None] * pre.rays  # [H, W, 3]
+        ndotX = jnp.sum(normal * X, axis=-1)
+        ndotX = jnp.where(jnp.abs(ndotX) < 1e-9, 1e-9, ndotX)
+        m = normal @ pre.Kinv  # [H, W, 3] = K1^-T n
+        src_depths = problem.src_depths
+        if src_depths is None:
+            src_depths = jnp.zeros_like(problem.src_images)
+        costs = jax.vmap(
+            lambda si, ks, rs, ts_, sd: per_src(si, ks, rs, ts_, sd,
+                                                depth, normal, X, ndotX, m)
+        )(problem.src_images, problem.K_src, problem.R_rel, problem.t_rel,
+          src_depths)  # [S, H, W]
+        k = min(opts.top_k, costs.shape[0])
+        topk = -jax.lax.top_k(-jnp.moveaxis(costs, 0, -1), k)[0]
+        return jnp.mean(topk, axis=-1)
+
+    return cost
+
+
+def _geom_cost(problem, K_s, R_s, t_s, src_depth, X, pix, opts):
+    """Forward-backward reprojection error vs the source depth map
+    (reference: LikelihoodComputer, patch_match_cuda.cu:656)."""
+    Xs = X @ R_s.T + t_s
+    ps = Xs @ K_s.T
+    zz = jnp.maximum(ps[..., 2], 1e-9)
+    sx = ps[..., 0] / zz
+    sy = ps[..., 1] / zz
+    d_src, inb = _bilinear(src_depth, sy, sx)
+    Kinv_s = jnp.linalg.inv(K_s)
+    q = jnp.stack([sx, sy, jnp.ones_like(sx)], axis=-1) @ Kinv_s.T
+    Xs_hat = q * d_src[..., None]
+    X_ref = (Xs_hat - t_s) @ R_s  # R^T = R_s rows applied -> (Xs - t) @ R
+    pr = X_ref @ problem.K_ref.T
+    rz = jnp.maximum(pr[..., 2], 1e-9)
+    rx = pr[..., 0] / rz
+    ry = pr[..., 1] / rz
+    err = jnp.sqrt((rx - pix[..., 0]) ** 2 + (ry - pix[..., 1]) ** 2)
+    err = jnp.where(inb & (d_src > 0) & (Xs[..., 2] > 0), err,
+                    opts.geom_consistency_max_cost)
+    return jnp.minimum(err, opts.geom_consistency_max_cost)
+
+
+def _random_normals(key, rays: jax.Array) -> jax.Array:
+    """Random unit normals facing the camera (n . ray < 0)."""
+    h, w, _ = rays.shape
+    n = jax.random.normal(key, (h, w, 3), _F32)
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
+    d = jnp.sum(n * rays, axis=-1, keepdims=True)
+    n = jnp.where(d > 0, -n, n)
+    view = -rays / jnp.maximum(jnp.linalg.norm(rays, axis=-1, keepdims=True), 1e-9)
+    n = 0.5 * n + 0.5 * view
+    return n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def patch_match(key: jax.Array, problem: PatchMatchProblem,
+                options: PatchMatchOptions = PatchMatchOptions()):
+    """Run PatchMatch; returns (depth [H,W], normal [H,W,3], cost [H,W]).
+
+    Filtered pixels (NCC too low) get depth 0.
+    """
+    ref = problem.ref_image
+    h, w = ref.shape
+    opts = options
+    pre = _precompute(problem, opts)
+    cost_of = _cost_fn(problem, pre, opts)
+    rays = pre.rays
+
+    k0, k1, key = jax.random.split(key, 3)
+    log_lo = jnp.log(problem.depth_min)
+    log_hi = jnp.log(problem.depth_max)
+    depth = jnp.exp(jax.random.uniform(k0, (h, w), _F32) * (log_hi - log_lo)
+                    + log_lo)
+    normal = _random_normals(k1, rays)
+    cost = cost_of(depth, normal)
+
+    ys, xs = jnp.mgrid[0:h, 0:w]
+    checker = ((ys + xs) % 2).astype(bool)
+    n_prop = 4
+    n_cand = n_prop + opts.num_perturbations
+
+    def propagate(depth, normal, shift: Tuple[int, int]):
+        """Depth induced at each pixel by the shifted neighbor's plane."""
+        d_n = jnp.roll(depth, shift, (0, 1))
+        n_n = jnp.roll(normal, shift, (0, 1))
+        rays_n = jnp.roll(rays, shift, (0, 1))
+        num = jnp.sum(n_n * (d_n[..., None] * rays_n), axis=-1)
+        den = jnp.sum(n_n * rays, axis=-1)
+        den = jnp.where(jnp.abs(den) < 1e-9, 1e-9, den)
+        return num / den, n_n
+
+    def perturb(k, depth, normal, scale):
+        ka, kb = jax.random.split(k)
+        d = depth * jnp.exp(jax.random.uniform(ka, (h, w), _F32, -1, 1) * scale)
+        n = normal + jax.random.normal(kb, (h, w, 3), _F32) * scale
+        nd = jnp.sum(n * rays, axis=-1, keepdims=True)
+        n = jnp.where(nd > 0, -n, n)
+        n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
+        return d, n
+
+    def half_iter(i, state):
+        depth, normal, cost, key = state
+        parity = (i % 2).astype(bool)
+        active = checker ^ parity
+        it = (i // 2).astype(_F32)
+        key, ks = jax.random.split(key)
+        pkeys = jax.random.split(ks, opts.num_perturbations)
+
+        # build the candidate stack [C, H, W] (+ normals [C, H, W, 3])
+        cand_d = []
+        cand_n = []
+        for shift in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            d_c, n_c = propagate(depth, normal, shift)
+            cand_d.append(d_c)
+            cand_n.append(n_c)
+        for j in range(opts.num_perturbations):
+            scale = 0.5 * jnp.exp2(-it) / (j + 1)
+            d_c, n_c = perturb(pkeys[j], depth, normal, scale)
+            cand_d.append(d_c)
+            cand_n.append(n_c)
+        cand_d = jnp.clip(jnp.stack(cand_d), problem.depth_min,
+                          problem.depth_max)
+        cand_n = jnp.stack(cand_n)
+
+        def eval_cand(carry, cand):
+            depth, normal, cost = carry
+            d_c, n_c = cand
+            c_c = cost_of(d_c, n_c)
+            better = (c_c < cost) & active
+            return ((jnp.where(better, d_c, depth),
+                     jnp.where(better[..., None], n_c, normal),
+                     jnp.where(better, c_c, cost)), None)
+
+        (depth, normal, cost), _ = jax.lax.scan(
+            eval_cand, (depth, normal, cost), (cand_d, cand_n))
+        return depth, normal, cost, key
+
+    depth, normal, cost, key = jax.lax.fori_loop(
+        0, 2 * opts.num_iterations, half_iter, (depth, normal, cost, key))
+
+    def refine_iter(i, state):
+        depth, normal, cost, key = state
+        key, ks = jax.random.split(key)
+        pkeys = jax.random.split(ks, 2)
+        scale = 0.02 * jnp.exp2(-(i // 2).astype(_F32))
+        cand_d, cand_n = [], []
+        for j in range(2):
+            d_c, n_c = perturb(pkeys[j], depth, normal, scale / (j + 1))
+            cand_d.append(d_c)
+            cand_n.append(n_c)
+        cand_d = jnp.clip(jnp.stack(cand_d), problem.depth_min,
+                          problem.depth_max)
+        cand_n = jnp.stack(cand_n)
+        active = jnp.ones_like(checker)
+
+        def eval_cand(carry, cand):
+            depth, normal, cost = carry
+            d_c, n_c = cand
+            c_c = cost_of(d_c, n_c)
+            better = (c_c < cost) & active
+            return ((jnp.where(better, d_c, depth),
+                     jnp.where(better[..., None], n_c, normal),
+                     jnp.where(better, c_c, cost)), None)
+
+        (depth, normal, cost), _ = jax.lax.scan(
+            eval_cand, (depth, normal, cost), (cand_d, cand_n))
+        return depth, normal, cost, key
+
+    depth, normal, cost, _ = jax.lax.fori_loop(
+        0, 2 * opts.num_refinement_iterations, refine_iter,
+        (depth, normal, cost, key))
+
+    if opts.filter:
+        # reference filtering: photometric cost = 1 - ncc must clear
+        # filter_min_ncc (patch_match.h); geometric part is additive
+        thresh = 1.0 - opts.filter_min_ncc
+        if opts.geom_consistency:
+            thresh = thresh + (opts.geom_consistency_regularizer
+                               * opts.geom_consistency_max_cost * 0.5)
+        keep = cost < thresh
+        depth = jnp.where(keep, depth, 0.0)
+        normal = jnp.where(keep[..., None], normal, 0.0)
+    return depth, normal, cost

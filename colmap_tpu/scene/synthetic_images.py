@@ -91,14 +91,17 @@ def _warp_face(texture: np.ndarray, K, R, t, P0, e1, e2, out_shape):
     tex = texture.astype(np.float32)
     val = ((1 - fv) * ((1 - fu) * tex[v0, u0] + fu * tex[v0, u0 + 1])
            + fv * ((1 - fu) * tex[v0 + 1, u0] + fu * tex[v0 + 1, u0 + 1]))
-    return np.where(valid, val, 0.0).astype(np.float32), valid
+    return (np.where(valid, val, 0.0).astype(np.float32), valid,
+            np.where(valid, z_cam, 0.0).astype(np.float32))
 
 
-def render_room_dataset(options: RoomDatasetOptions = RoomDatasetOptions()
-                        ) -> Tuple[List[np.ndarray], np.ndarray, np.ndarray, np.ndarray]:
+def render_room_dataset(options: RoomDatasetOptions = RoomDatasetOptions(),
+                        return_depth: bool = False):
     """Render the room from a camera arc.
 
-    Returns (images_u8, K, R_w2c [N,3,3], t_w2c [N,3]).
+    Returns (images_u8, K, R_w2c [N,3,3], t_w2c [N,3]) and, when
+    return_depth is set, additionally the GT depth maps [N,H,W] f32
+    (0 = no surface).
     """
     rng = np.random.default_rng(options.seed)
     s = options.room_size
@@ -115,7 +118,7 @@ def render_room_dataset(options: RoomDatasetOptions = RoomDatasetOptions()
     ]
     textures = [_texture(rng, options.texture_res) for _ in faces]
 
-    images, Rs, ts = [], [], []
+    images, Rs, ts, depths = [], [], [], []
     n = options.num_images
     for i in range(n):
         a = (i / max(n - 1, 1) - 0.5) * 0.9  # arc parameter
@@ -124,12 +127,19 @@ def render_room_dataset(options: RoomDatasetOptions = RoomDatasetOptions()
         target = np.array([0.3 * a * s, 0.0, s])
         R, t = _lookat(center, target)
         img = np.zeros((h, w), np.float32)
+        dep = np.zeros((h, w), np.float32)
         for tex, (P0, e1, e2) in zip(textures, faces):
-            val, valid = _warp_face(tex, K, R, t, P0, e1, e2, (h, w))
-            img = np.where(valid, val, img)
+            val, valid, z = _warp_face(tex, K, R, t, P0, e1, e2, (h, w))
+            # nearest surface wins where faces overlap
+            closer = valid & ((dep == 0) | (z < dep))
+            img = np.where(closer, val, img)
+            dep = np.where(closer, z, dep)
         images.append(np.clip(img, 0, 255).astype(np.uint8))
+        depths.append(dep)
         Rs.append(R)
         ts.append(t)
+    if return_depth:
+        return images, K, np.stack(Rs), np.stack(ts), np.stack(depths)
     return images, K, np.stack(Rs), np.stack(ts)
 
 
