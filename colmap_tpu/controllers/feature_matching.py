@@ -250,3 +250,44 @@ def match_pairs(database: Database, pairs: List[Tuple[int, int]],
     """Imported pair list (reference: ImportedPairGenerator)."""
     return match_and_verify_blocks(
         database, _chunk(pairs, options.block_pairs), options, seed)
+
+
+def match_vocab_tree(database: Database,
+                     options: FeatureMatchingOptions = FeatureMatchingOptions(),
+                     vocab_tree_path: Optional[str] = None,
+                     num_neighbors: int = 5,
+                     seed: int = 0) -> MatchingStats:
+    """Vocab-tree retrieval matching (reference: VocabTreeFeatureMatcher,
+    controllers/feature_matching.h). Builds (or loads) the visual index,
+    retrieves each image's neighbors, matches those pairs."""
+    from colmap_tpu.retrieval import visual_index as vi_mod
+
+    if vocab_tree_path:
+        vi = vi_mod.VisualIndex.load(vocab_tree_path)
+    else:
+        vi = vi_mod.build_vocab_tree_from_database(
+            database, vi_mod.VisualIndexOptions(), seed=seed)
+    pairs = vi_mod.vocab_tree_pairs(database, vi, num_neighbors)
+    return match_and_verify_blocks(
+        database, _chunk(pairs, options.block_pairs), options, seed)
+
+
+def match_transitive(database: Database,
+                     options: FeatureMatchingOptions = FeatureMatchingOptions(),
+                     num_iterations: int = 3,
+                     seed: int = 0) -> MatchingStats:
+    """Transitive closure matching (reference: TransitiveFeatureMatcher)."""
+    total = MatchingStats()
+    for _ in range(num_iterations):
+        existing = [k for k in database.read_all_two_view_geometries()]
+        new_pairs = pairing_mod.transitive_pairs(existing)
+        new_pairs = [p for p in new_pairs
+                     if database.read_matches(*p) is None]
+        if not new_pairs:
+            break
+        st = match_and_verify_blocks(
+            database, _chunk(new_pairs, options.block_pairs), options, seed)
+        total.num_matched_pairs += st.num_matched_pairs
+        total.num_verified_pairs += st.num_verified_pairs
+        total.num_inlier_matches += st.num_inlier_matches
+    return total

@@ -47,9 +47,10 @@ class IncrementalPipeline:
         self.database = database
         self.options = options
 
-    def run(self, seed: int = 0) -> Optional[Reconstruction]:
+    def run(self, seed: int = 0, image_names=None) -> Optional[Reconstruction]:
         cache = DatabaseCache.create(
-            self.database, min_num_matches=self.options.min_num_matches
+            self.database, min_num_matches=self.options.min_num_matches,
+            image_names=image_names,
         )
         if len(cache.images) < 2:
             return None
