@@ -172,3 +172,131 @@ def refit(pose: jax.Array, data: tuple, weights: jax.Array):
 
 
 residuals = reprojection_residuals
+
+
+# ---------------------------------------------------------------------------
+# EPnP (n-point, non-minimal)
+# ---------------------------------------------------------------------------
+
+
+def solve_epnp(points3d: jax.Array, uv: jax.Array,
+               weights: jax.Array | None = None):
+    """EPnP n-point absolute pose (reference: estimators/absolute_pose.h:125
+    EPnPEstimator). points3d (N, 3) world, uv (N, 2) normalized coords.
+
+    Control points via weighted PCA, M-matrix nullspace (N=1 beta case),
+    scale from inter-control-point distances, rigid alignment via Kabsch;
+    a short damped-GN polish matches the higher beta cases' accuracy.
+    Returns (pose (7,), valid scalar).
+    """
+    n = points3d.shape[0]
+    dtype = points3d.dtype
+    if weights is None:
+        weights = jnp.ones(n, dtype)
+    wsum = jnp.maximum(jnp.sum(weights), 1e-9)
+
+    # control points: centroid + principal axes
+    c0 = jnp.sum(points3d * weights[:, None], 0) / wsum
+    centered = (points3d - c0) * jnp.sqrt(weights)[:, None]
+    cov = centered.T @ centered / wsum
+    evals, evecs = jnp.linalg.eigh(cov)
+    axes = evecs.T * jnp.sqrt(jnp.maximum(evals, 1e-12))[:, None]  # (3, 3)
+    ctrl_w = jnp.concatenate([c0[None], c0[None] + axes], 0)  # (4, 3)
+
+    # barycentric coordinates
+    A = axes.T  # world offsets of ctrl 1..3
+    beta = jnp.linalg.solve(A + 1e-12 * jnp.eye(3, dtype=dtype),
+                            (points3d - c0).T).T  # (N, 3)
+    alphas = jnp.concatenate([1.0 - jnp.sum(beta, 1, keepdims=True), beta], 1)
+
+    # M matrix (2N, 12) for normalized coords
+    u = uv[:, 0]
+    v = uv[:, 1]
+    zeros = jnp.zeros_like(alphas)
+    rx = jnp.stack([alphas, zeros, -alphas * u[:, None]], -1)  # (N, 4, 3)
+    ry = jnp.stack([zeros, alphas, -alphas * v[:, None]], -1)
+    M = jnp.concatenate([rx.reshape(n, 12), ry.reshape(n, 12)], 0)
+    M = M * jnp.concatenate([weights, weights])[:, None]
+    MtM = M.T @ M
+    evals2, evecs2 = jnp.linalg.eigh(MtM)
+    vker = evecs2[:, 0].reshape(4, 3)  # ctrl points in camera frame (scale amb.)
+
+    # scale from control-point distances (beta case N=1)
+    def pdists(c):
+        d = c[:, None, :] - c[None, :, :]
+        return jnp.sqrt(jnp.sum(d * d, -1) + 1e-12)
+
+    dw = pdists(ctrl_w)
+    dc = pdists(vker)
+    scale = jnp.sum(dw * dc) / jnp.maximum(jnp.sum(dc * dc), 1e-12)
+    ctrl_c = vker * scale
+    # fix the sign so points land in front of the camera
+    pts_c = alphas @ ctrl_c
+    sign = jnp.where(jnp.sum(jnp.sign(pts_c[:, 2]) * weights) >= 0, 1.0, -1.0)
+    ctrl_c = ctrl_c * sign
+
+    R, t = _kabsch(ctrl_w, ctrl_c)
+    pose = rigid3.make(rot.rotmat_to_quat(R), t)
+    pose = gn_refine_pose(pose, points3d, uv, weights, num_iters=8)
+    valid = jnp.isfinite(pose).all()
+    r2 = reprojection_residuals(pose, (points3d, uv))
+    valid &= jnp.sum(jnp.where(weights > 0, r2, 0.0)) < 1e6
+    return pose, valid
+
+
+def epnp_refit(pose: jax.Array, data: tuple, weights: jax.Array):
+    """LO-RANSAC refit via EPnP (initialization-free non-minimal solver)."""
+    del pose
+    points3d, uv = data
+    return solve_epnp(points3d, uv, weights)
+
+
+# ---------------------------------------------------------------------------
+# Absolute pose with focal-length search
+# ---------------------------------------------------------------------------
+
+
+def estimate_pose_with_focal_search(
+    key: jax.Array, points3d: jax.Array, rays_prior: jax.Array,
+    valid: jax.Array, max_error_normalized: jax.Array,
+    min_focal_ratio: float = 0.5, max_focal_ratio: float = 2.0,
+    num_focal_samples: int = 9, ransac_options=None,
+):
+    """P3P RANSAC over a grid of focal-length factors.
+
+    Reference: AbsolutePoseEstimationOptions focal-length search in
+    EstimateAbsolutePose (estimators/pose.h:68-156, kFocalLengthSamples) —
+    rays computed with a prior focal are rescaled by each candidate factor
+    and the best-support factor wins. All factors run as ONE vmapped
+    batched-RANSAC program (factor axis = extra batch dim on the MXU).
+
+    rays_prior: (N, 2) normalized coords computed with the prior focal.
+    Returns (pose, focal_factor, num_inliers, inlier_mask).
+    """
+    import dataclasses as _dc
+
+    from colmap_tpu.optim.ransac import RansacOptions
+    from colmap_tpu.optim.ransac import ransac as run_ransac
+
+    opts = ransac_options or RansacOptions(num_samples=512, lo_iterations=2)
+    opts = _dc.replace(opts, max_error=1.0)  # residuals pre-scaled below
+    factors = jnp.exp(jnp.linspace(jnp.log(min_focal_ratio),
+                                   jnp.log(max_focal_ratio),
+                                   num_focal_samples)).astype(points3d.dtype)
+    keys = jax.random.split(key, num_focal_samples)
+
+    def run_one(k, f):
+        uv = rays_prior / f
+        err = max_error_normalized / f
+        scale = 1.0 / jnp.maximum(err, 1e-12) ** 2
+
+        def scaled_res(model, data):
+            return reprojection_residuals(model, data) * scale
+
+        res = run_ransac(
+            k, solve_p3p, scaled_res, refit, (points3d, uv), valid, 3, opts)
+        return res.model, res.num_inliers, res.score, res.inlier_mask
+
+    poses, ninl, scores, masks = jax.vmap(run_one)(keys, factors)
+    best = jnp.argmax(scores)
+    return poses[best], factors[best], ninl[best], masks[best]

@@ -35,6 +35,10 @@ class RansacOptions:
     lo_iterations: int = 3
     # maximum K for dyn_num_trials parity checks
     max_num_trials: int = 65536
+    # support measurer: "msac" (truncated-loss score, default) or
+    # "inlier_count" (reference: optim/support_measurement.h
+    # InlierSupportMeasurer vs MEstimatorSupportMeasurer)
+    support: str = "msac"
 
     def resolved_num_samples(self, sample_size: int) -> int:
         if self.num_samples is not None:
@@ -58,15 +62,28 @@ class RansacResult(NamedTuple):
 
 
 def draw_minimal_samples(key: jax.Array, valid: jax.Array, num_samples: int,
-                         sample_size: int) -> jax.Array:
+                         sample_size: int,
+                         weights: Optional[jax.Array] = None) -> jax.Array:
     """Draw (num_samples, sample_size) index sets without replacement.
 
     Implemented as per-hypothesis top-k over random keys — one fused op, no
     sequential Fisher-Yates. Invalid points get -inf keys so they are never
     selected (callers must ensure >= sample_size valid points).
+
+    `weights` (optional, (N,) >= 0) biases the draw toward high-quality
+    points — the batched analog of the reference's PROSAC
+    ProgressiveSampler (optim/progressive_sampler.h): instead of growing a
+    ranked prefix over sequential trials, every hypothesis samples
+    proportional-to-quality without replacement (exponential race).
     """
     n = valid.shape[0]
-    r = jax.random.uniform(key, (num_samples, n))
+    if weights is None:
+        r = jax.random.uniform(key, (num_samples, n))
+    else:
+        # Gumbel/exponential race: keys = log(w) + Gumbel gives weighted
+        # sampling without replacement via top-k
+        g = jax.random.gumbel(key, (num_samples, n))
+        r = jnp.log(jnp.maximum(weights, 1e-12))[None, :] + g
     r = jnp.where(valid[None, :], r, -jnp.inf)
     _, idx = jax.lax.top_k(r, sample_size)
     return idx
@@ -81,6 +98,7 @@ def ransac(
     valid: jax.Array,  # (N,) bool
     sample_size: int,
     options: RansacOptions,
+    sample_weights: Optional[jax.Array] = None,
 ) -> RansacResult:
     """Run batched (LO-)RANSAC. Fully jittable; all shapes static.
 
@@ -95,7 +113,8 @@ def ransac(
     max_err2 = options.max_error**2
 
     k_sample, _ = jax.random.split(key)
-    idx = draw_minimal_samples(k_sample, valid, num_samples, sample_size)
+    idx = draw_minimal_samples(k_sample, valid, num_samples, sample_size,
+                               weights=sample_weights)
 
     sample_data = tuple(jnp.take(d, idx, axis=0) for d in data)  # (S, k, ...)
     models, model_valid = jax.vmap(solver)(*sample_data)
@@ -107,8 +126,14 @@ def ransac(
         r2 = residual_fn(model, data)  # (N,)
         r2 = jnp.where(valid, r2, jnp.inf)
         inl = r2 < max_err2
-        # negative MSAC loss: sum over valid of (max_err2 - min(r2, max_err2))
-        score = jnp.sum(jnp.where(valid, max_err2 - jnp.minimum(r2, max_err2), 0.0))
+        if options.support == "inlier_count":
+            score = jnp.sum(inl).astype(jnp.float32)
+        else:
+            # negative MSAC loss: sum over valid of
+            # (max_err2 - min(r2, max_err2))
+            score = jnp.sum(jnp.where(valid,
+                                      max_err2 - jnp.minimum(r2, max_err2),
+                                      0.0))
         return score, inl
 
     scores, inlier_masks = jax.vmap(score_model)(models)
