@@ -2,20 +2,26 @@
 
 Reference: src/colmap/controllers/incremental_mapper.h:39-220 —
 LoadDatabase -> init pair -> register/triangulate/local-BA loop with
-growth-triggered global BA -> filtering. One sub-model for now (multi-model
-fallback is a later round).
+growth-triggered global BA + retriangulation -> filtering; multi-model
+management (Reconstruct loop over sub-models, .cc:474), model snapshots
+(snapshot_path / snapshot_images_freq, .cc:437-442) and resume from an
+existing model (RunMapper --input_path, exe/sfm.cc:230-237).
 """
 
 from __future__ import annotations
 
 import dataclasses
 import logging
-from typing import Optional
+import os
+from typing import List, Optional, Set
+
+import numpy as np
 
 from colmap_tpu.estimators import bundle_adjustment as ba
 from colmap_tpu.scene.database import Database
 from colmap_tpu.scene.database_cache import DatabaseCache
 from colmap_tpu.scene.reconstruction import Reconstruction
+from colmap_tpu.scene.reconstruction_manager import ReconstructionManager
 from colmap_tpu.sfm.incremental_mapper import (
     IncrementalMapper,
     IncrementalMapperOptions,
@@ -37,88 +43,188 @@ class IncrementalPipelineOptions:
     min_model_size: int = 3
     init_num_trials: int = 200
     extract_colors: bool = False
+    # multi-model management (reference: multiple_models / max_num_models)
+    multiple_models: bool = True
+    max_num_models: int = 50
+    max_model_overlap: int = 20
+    # retriangulation inside global refinement (reference:
+    # IterativeGlobalRefinement)
+    retriangulate: bool = True
+    # snapshots (reference: snapshot_path / snapshot_images_freq)
+    snapshot_path: Optional[str] = None
+    snapshot_images_freq: int = 0
 
 
 class IncrementalPipeline:
-    """Run incremental SfM from a database into a Reconstruction."""
+    """Run incremental SfM from a database into Reconstruction(s)."""
 
     def __init__(self, database: Database,
                  options: IncrementalPipelineOptions = IncrementalPipelineOptions()):
         self.database = database
         self.options = options
 
-    def run(self, seed: int = 0, image_names=None) -> Optional[Reconstruction]:
-        cache = DatabaseCache.create(
-            self.database, min_num_matches=self.options.min_num_matches,
-            image_names=image_names,
-        )
-        if len(cache.images) < 2:
-            return None
-        # retry initialization with the next-best pair on failure
-        # (reference: init_num_trials / max_reg_trials re-init loop,
-        # controllers/incremental_mapper.cc:474-540)
-        mapper = None
+    # -- single sub-model -------------------------------------------------------
+
+    def _initialize(self, cache: DatabaseCache, seed: int,
+                    exclude_images: Set[int]) -> Optional[IncrementalMapper]:
+        """Find + register an initial pair, retrying on triangulation
+        failure (reference: init_num_trials re-init loop)."""
         tried = set()
         for _ in range(self.options.init_num_trials):
             candidate = IncrementalMapper(cache, self.options.mapper, seed=seed)
             pair, g = candidate.find_initial_image_pair(exclude=tried)
             if pair is None:
-                logger.warning("no good initial pair found")
                 return None
+            if pair[0] in exclude_images or pair[1] in exclude_images:
+                tried.add(pair)
+                continue
             logger.info("initializing with pair %s (%d inliers)",
                         pair, int(g.num_inliers))
             if candidate.register_initial_image_pair(pair[0], pair[1], g):
-                mapper = candidate
-                break
-            logger.warning("initial pair %s triangulation failed, retrying", pair)
+                return candidate
+            logger.warning("initial pair %s triangulation failed, retrying",
+                           pair)
             tried.add(pair)
-        if mapper is None:
-            return None
-        mapper.adjust_global_bundle()
-        mapper.filter_points()
+        return None
 
-        last_global_images = 2
-        last_global_points = len(mapper.rec.points3D)
+    def _maybe_snapshot(self, mapper: IncrementalMapper):
+        opts = self.options
+        if not opts.snapshot_path or opts.snapshot_images_freq <= 0:
+            return
+        n = len(mapper.registered)
+        if n % opts.snapshot_images_freq == 0:
+            from colmap_tpu.scene import reconstruction_io
+
+            path = os.path.join(opts.snapshot_path, f"{n:06d}")
+            os.makedirs(path, exist_ok=True)
+            reconstruction_io.write_model(mapper.rec, path, ext=".bin")
+            logger.info("snapshot at %d images -> %s", n, path)
+
+    def _reconstruct_sub_model(self, cache: DatabaseCache, seed: int,
+                               exclude_images: Set[int],
+                               mapper: Optional[IncrementalMapper] = None
+                               ) -> Optional[Reconstruction]:
+        """Grow one model (reference: ReconstructSubModel, .cc:342-472)."""
+        if mapper is None:
+            mapper = self._initialize(cache, seed, exclude_images)
+            if mapper is None:
+                return None
+            mapper.adjust_global_bundle()
+            mapper.filter_points()
+
+        last_global_images = max(len(mapper.registered), 2)
+        last_global_points = max(len(mapper.rec.points3D), 1)
 
         while True:
-            candidates = mapper.find_next_images()
+            candidates = [i for i in mapper.find_next_images()
+                          if i not in exclude_images]
             if not candidates:
                 break
             registered_any = False
             for iid in candidates:
                 if mapper.register_next_image(iid):
-                    logger.info(
-                        "registered image %d (#%d)", iid, len(mapper.registered)
-                    )
+                    logger.info("registered image %d (#%d)", iid,
+                                len(mapper.registered))
                     mapper.triangulate_image(iid)
                     mapper.adjust_local_bundle(iid)
                     mapper.filter_points()
                     registered_any = True
+                    self._maybe_snapshot(mapper)
 
                     n_img = len(mapper.registered)
                     n_pts = max(len(mapper.rec.points3D), 1)
-                    if (
-                        n_img > self.options.ba_global_images_ratio * last_global_images
-                        or n_pts > self.options.ba_global_points_ratio * last_global_points
-                    ):
-                        logger.info("global BA at %d images", n_img)
-                        mapper.adjust_global_bundle(
-                            refine_intrinsics=self.options.ba_refine_focal_length
-                            and n_img >= 8
-                        )
-                        mapper.filter_points()
+                    if (n_img > self.options.ba_global_images_ratio * last_global_images
+                            or n_pts > self.options.ba_global_points_ratio * last_global_points):
+                        self._global_refinement(mapper)
                         last_global_images = n_img
                         last_global_points = len(mapper.rec.points3D)
                     break  # re-rank candidates after each registration
             if not registered_any:
                 break
 
-        # final global BA + filtering
-        mapper.adjust_global_bundle(
-            refine_intrinsics=self.options.ba_refine_focal_length
-            and len(mapper.registered) >= 8
-        )
-        mapper.filter_points()
+        self._global_refinement(mapper, final=True)
         if mapper.rec.num_registered_images() < self.options.min_model_size:
             return None
         return mapper.rec
+
+    def _global_refinement(self, mapper: IncrementalMapper, final: bool = False):
+        """Retriangulate + global BA + filter (reference:
+        IterativeGlobalRefinement, sfm/incremental_mapper.cc:688)."""
+        n_img = len(mapper.registered)
+        logger.info("global refinement at %d images", n_img)
+        if self.options.retriangulate:
+            n_new = 0
+            for iid in list(mapper.registered):
+                n_new += mapper.triangulate_image(iid)
+            if n_new:
+                logger.info("retriangulation added %d points", n_new)
+        mapper.adjust_global_bundle(
+            refine_intrinsics=self.options.ba_refine_focal_length and n_img >= 8)
+        mapper.filter_points()
+
+    # -- multi-model entry points ------------------------------------------------
+
+    def run_multi(self, seed: int = 0, image_names=None,
+                  input_model: Optional[Reconstruction] = None
+                  ) -> ReconstructionManager:
+        """Reconstruct all sub-models (reference: Reconstruct, .cc:474)."""
+        cache = DatabaseCache.create(
+            self.database, min_num_matches=self.options.min_num_matches,
+            image_names=image_names)
+        manager = ReconstructionManager()
+        if len(cache.images) < 2:
+            return manager
+
+        exclude: Set[int] = set()
+        max_models = self.options.max_num_models if self.options.multiple_models else 1
+        for model_idx in range(max_models):
+            mapper = None
+            if model_idx == 0 and input_model is not None:
+                # resume: seed mapper state from the existing model
+                mapper = self._mapper_from_model(cache, input_model, seed)
+            remaining = [i for i in cache.images if i not in exclude]
+            if len(remaining) < max(self.options.min_model_size, 2):
+                break
+            rec = self._reconstruct_sub_model(cache, seed + model_idx,
+                                              exclude, mapper=mapper)
+            if rec is None:
+                break
+            manager.add(rec)
+            logger.info("sub-model %d: %d images, %d points", model_idx,
+                        rec.num_registered_images(), len(rec.points3D))
+            exclude |= set(rec.registered_image_ids())
+        return manager
+
+    def _mapper_from_model(self, cache: DatabaseCache,
+                           model: Reconstruction, seed: int
+                           ) -> Optional[IncrementalMapper]:
+        mapper = IncrementalMapper(cache, self.options.mapper, seed=seed)
+        for iid, im in model.images.items():
+            if iid in mapper.rec.images and im.registered:
+                mapper.rec.images[iid].cam_from_world = np.asarray(
+                    im.cam_from_world, np.float64)
+                mapper.registered.append(iid)
+        for cid, cam in model.cameras.items():
+            if cid in mapper.rec.cameras:
+                mapper.rec.cameras[cid].params = np.asarray(cam.params,
+                                                            np.float64)
+        for pid, pt in model.points3D.items():
+            track = [(iid, p2d) for (iid, p2d) in pt.track
+                     if iid in mapper.rec.images
+                     and len(mapper.rec.images[iid].point3D_ids) > p2d
+                     and mapper.rec.images[iid].point3D_ids[p2d] < 0]
+            if len(track) >= 2:
+                mapper.rec.add_point3D(pt.xyz, track, color=pt.color)
+        if len(mapper.registered) < 2:
+            return None
+        return mapper
+
+    def run(self, seed: int = 0, image_names=None,
+            input_model: Optional[Reconstruction] = None
+            ) -> Optional[Reconstruction]:
+        """Reconstruct and return the largest sub-model."""
+        manager = self.run_multi(seed=seed, image_names=image_names,
+                                 input_model=input_model)
+        if len(manager) == 0:
+            return None
+        return manager.largest()
