@@ -276,8 +276,26 @@ def run_bundle_adjuster(argv):
 
 
 def run_rig_bundle_adjuster(argv):
-    raise SystemExit("rig_bundle_adjuster: camera rigs land in a future "
-                     "round (reference: RunRigBundleAdjuster)")
+    """reference: RunRigBundleAdjuster (exe/sfm.cc) with COLMAP's
+    rig_config.json format: [{"ref_camera_id": N, "cameras":
+    [{"camera_id": i, "image_prefix": "...", "cam_from_rig_rotation":
+    [w,x,y,z], "cam_from_rig_translation": [x,y,z]}, ...]}]."""
+    om, parser = _om_parser("rig_bundle_adjuster")
+    parser.add_argument("--input_path", required=True)
+    parser.add_argument("--output_path", required=True)
+    parser.add_argument("--rig_config_path", required=True)
+    parser.add_argument("--RigBundleAdjustment.refine_relative_poses",
+                        type=int, default=1, dest="refine_rel")
+    args = parser.parse_args(argv)
+    om.parse_args(args)
+    from colmap_tpu.tools.rig_tools import run_rig_bundle_adjustment
+
+    rec = _read_model(args.input_path)
+    rec = run_rig_bundle_adjustment(
+        rec, args.rig_config_path,
+        refine_relative_poses=bool(args.refine_rel))
+    _write_model(rec, args.output_path)
+    return 0
 
 
 def run_image_undistorter(argv):
@@ -324,8 +342,44 @@ def run_image_undistorter_standalone(argv):
 
 
 def run_image_rectifier(argv):
-    raise SystemExit("image_rectifier: stereo rectification lands in a "
-                     "future round (reference: RunImageRectifier)")
+    """reference: RunImageRectifier (exe/image.cc) — rectify the stereo
+    pairs listed in --stereo_pairs_list ('name1 name2' per line)."""
+    om, parser = _om_parser("image_rectifier")
+    parser.add_argument("--input_path", required=True)
+    parser.add_argument("--output_path", required=True)
+    parser.add_argument("--stereo_pairs_list", required=True)
+    args = parser.parse_args(argv)
+    om.parse_args(args)
+    from colmap_tpu.image.rectification import rectify_images
+    from colmap_tpu.sensor import bitmap as bitmap_mod
+
+    rec = _read_model(args.input_path)
+    by_name = {im.name: im for im in rec.images.values()}
+    os.makedirs(args.output_path, exist_ok=True)
+    for line in open(args.stereo_pairs_list):
+        parts = line.split()
+        if len(parts) != 2:
+            continue
+        im1, im2 = by_name[parts[0]], by_name[parts[1]]
+        cam1 = rec.cameras[im1.camera_id]
+        cam2 = rec.cameras[im2.camera_id]
+
+        def K_of(cam):
+            fx, fy, cx, cy = cam.params[:4]
+            return np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+
+        b1 = bitmap_mod.read_bitmap(os.path.join(om.image_path, im1.name))
+        b2 = bitmap_mod.read_bitmap(os.path.join(om.image_path, im2.name))
+        o1, o2, info = rectify_images(b1.data, b2.data, K_of(cam1),
+                                      K_of(cam2), im1.cam_from_world,
+                                      im2.cam_from_world)
+        stem1 = os.path.splitext(os.path.basename(im1.name))[0]
+        stem2 = os.path.splitext(os.path.basename(im2.name))[0]
+        bitmap_mod.write_bitmap(
+            os.path.join(args.output_path, f"{stem1}-{stem2}_left.png"), o1)
+        bitmap_mod.write_bitmap(
+            os.path.join(args.output_path, f"{stem1}-{stem2}_right.png"), o2)
+    return 0
 
 
 def run_image_deleter(argv):

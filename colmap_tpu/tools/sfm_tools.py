@@ -212,4 +212,17 @@ def run_pose_prior_mapper(database: Database, options=None, seed: int = 0
                                            max_error=max(0.05 * spread, 1e-3))
         if aligned is not None:
             rec = aligned
+            # prior-constrained BA keeps the model pinned to the prior frame
+            # (reference: PosePriorBundleAdjuster)
+            from colmap_tpu.estimators.pose_prior_ba import refine_with_priors
+
+            name_to_id = {im.name: iid for iid, im in rec.images.items()}
+            id_priors = {name_to_id[n]: p for n, p in positions.items()
+                         if n in name_to_id}
+            model_id = rec.cameras[sorted(rec.cameras)[0]].model_id
+            from colmap_tpu.estimators.pose_prior_ba import PriorBAOptions
+
+            refine_with_priors(
+                rec, id_priors, sigma=max(0.02 * spread, 1e-3),
+                options=PriorBAOptions(camera_model_id=int(model_id)))
     return rec
