@@ -182,12 +182,38 @@ def match_and_verify_blocks(
                            jnp.asarray(mvalid), jnp.asarray(focal))
         res = jax.tree.map(np.asarray, res)
 
+        # optional guided matching: re-match with the epipolar constraint
+        # (reference: guided_matcher workers, feature_matching_utils.cc)
+        guided = {}
+        if options.guided_matching:
+            for i, ((a, b), m) in enumerate(zip(block, pair_matches)):
+                if len(m) == 0 or int(res.num_inliers[i]) < options.min_num_inliers:
+                    continue
+                da, db_ = data.get(a), data.get(b)
+                xy1 = np.zeros((cap, 2), np.float32)
+                xy2 = np.zeros((cap, 2), np.float32)
+                xy1[: min(len(da["xy"]), cap)] = da["xy"][:cap]
+                xy2[: min(len(db_["xy"]), cap)] = db_["xy"][:cap]
+                gm = matching_mod.guided_match_descriptors(
+                    jax.tree.map(lambda x: x[i], b1),
+                    jax.tree.map(lambda x: x[i], b2),
+                    jnp.asarray(xy1), jnp.asarray(xy2),
+                    jnp.asarray(res.F[i], jnp.float32),
+                    max_epipolar_error=verify_opts.max_error_px,
+                    options=match_opts)
+                gmp = matching_mod.matches_to_pairs(np.asarray(gm))
+                if len(gmp) > len(m):
+                    guided[i] = gmp[: options.max_num_matches]
+
         for i, ((a, b), m) in enumerate(zip(block, pair_matches)):
             ni = int(res.num_inliers[i])
             if len(m) == 0 or ni < options.min_num_inliers:
                 continue
-            inl = res.inlier_mask[i][: len(m)]
-            inlier_matches = m[inl[: len(m)]]
+            if i in guided:
+                inlier_matches = guided[i]
+            else:
+                inl = res.inlier_mask[i][: len(m)]
+                inlier_matches = m[inl[: len(m)]]
             pose = res.cam2_from_cam1[i]
             database.write_two_view_geometry(
                 a, b, inlier_matches,

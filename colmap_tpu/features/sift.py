@@ -54,6 +54,12 @@ class SiftExtractionOptions:
     edge_threshold: float = 10.0
     max_num_orientations: int = 2
     normalization: str = "L1_ROOT"  # or "L2"
+    # domain-size pooling (DSP-SIFT): average the descriptor over a range of
+    # window scales (reference: sift.h:90-93 / CovariantSiftCPUFeatureExtractor)
+    domain_size_pooling: bool = False
+    dsp_min_scale: float = 1.0 / 6.0
+    dsp_max_scale: float = 3.0
+    dsp_num_scales: int = 10
     # per-octave candidate capacity (TPU static-shape knob, not in reference)
     octave_capacity: int = 4096
 
@@ -453,8 +459,20 @@ def _extract_octave(gauss: jax.Array, octave_scale: float, opts: SiftExtractionO
     kp_theta = theta.reshape(n)
     kp_valid = (tvalid & ok[:, None]).reshape(n)
 
-    kp_desc = _descriptors_bulk(gx_flat, gy_flat, h, w, kp_base,
-                                kp_fy, kp_fx, kp_sigma, kp_theta)
+    if opts.domain_size_pooling:
+        # DSP-SIFT: pool descriptors over window scales (each scale reuses
+        # the same bulk program; the pooled descriptor is the mean)
+        scales = np.linspace(opts.dsp_min_scale, opts.dsp_max_scale,
+                             opts.dsp_num_scales).astype(np.float32)
+        kp_desc = jnp.zeros((n, _NBP * _NBP * _NBO), _F32)
+        for s_fac in scales:
+            kp_desc = kp_desc + _descriptors_bulk(
+                gx_flat, gy_flat, h, w, kp_base, kp_fy, kp_fx,
+                kp_sigma * float(s_fac), kp_theta)
+        kp_desc = kp_desc / len(scales)
+    else:
+        kp_desc = _descriptors_bulk(gx_flat, gy_flat, h, w, kp_base,
+                                    kp_fy, kp_fx, kp_sigma, kp_theta)
 
     kp_x = kp_fx * octave_scale + coord_offset
     kp_y = kp_fy * octave_scale + coord_offset

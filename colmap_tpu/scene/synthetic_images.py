@@ -29,6 +29,7 @@ class RoomDatasetOptions:
     focal: float = 320.0
     room_size: float = 4.0
     texture_res: int = 512
+    texture_type: str = "noise"  # noise | grid (grid = Manhattan line structure)
     seed: int = 3
 
 
@@ -44,6 +45,16 @@ def _texture(rng, n: int) -> np.ndarray:
                   + np.roll(np.roll(img, 1, 0), 1, 1))
     img = (img - img.min()) / (img.max() - img.min() + 1e-9)
     return (img * 255).astype(np.uint8)
+
+
+def _grid_texture(rng, n: int, spacing: int = 48, thickness: int = 3) -> np.ndarray:
+    """Axis-aligned dark grid lines over a noisy background (strong
+    Manhattan line structure for coordinate-frame tests)."""
+    img = _texture(rng, n).astype(np.float32) * 0.4 + 120
+    for k in range(0, n, spacing):
+        img[k:k + thickness, :] = 20
+        img[:, k:k + thickness] = 20
+    return np.clip(img, 0, 255).astype(np.uint8)
 
 
 def _lookat(center: np.ndarray, target: np.ndarray, up=(0.0, -1.0, 0.0)):
@@ -116,7 +127,10 @@ def render_room_dataset(options: RoomDatasetOptions = RoomDatasetOptions(),
         (np.array([s, -s / 2, s]), np.array([0, 0, -2 * s]), np.array([0.0, s, 0])),
         (np.array([-s, s / 2, s]), np.array([2 * s, 0, 0]), np.array([0, 0, -2 * s])),
     ]
-    textures = [_texture(rng, options.texture_res) for _ in faces]
+    if options.texture_type == "grid":
+        textures = [_grid_texture(rng, options.texture_res) for _ in faces]
+    else:
+        textures = [_texture(rng, options.texture_res) for _ in faces]
 
     images, Rs, ts, depths = [], [], [], []
     n = options.num_images

@@ -28,7 +28,10 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+# NOTE: do NOT enable "all" here — persisting XLA:CPU AOT executables is
+# machine-feature-sensitive and aborts the process when an entry compiled
+# under different detected CPU features is deserialized (observed as a
+# segfault inside compilation_cache.get_executable_and_time).
 
 import numpy as np
 import pytest
