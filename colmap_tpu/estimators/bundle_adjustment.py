@@ -43,7 +43,17 @@ from colmap_tpu.sensor import models as camera_models
 
 
 class BAProblem(NamedTuple):
-    """Fixed-capacity BA tableau. All arrays device-resident."""
+    """Fixed-capacity BA tableau. All arrays device-resident.
+
+    The optional *gather layouts* make every reduction scatter-free: TPU
+    scatter-adds lower to sort-based kernels (~100x slower than gathers),
+    so `pt_gather` (M, T) and `pose_gather` (P, S) hold, per point / per
+    pose, the indices of its observations in the flat obs axis (-1 pad).
+    Point/pose reductions become gather + dense axis-sum; the tiny camera
+    axis reduces through a one-hot matmul on the MXU. When the layouts are
+    None (e.g. the observation-sharded distributed path), lm_step falls
+    back to segment_sum.
+    """
 
     poses: jax.Array  # (P, 7) cam_from_world
     cam_params: jax.Array  # (C, 12) padded intrinsics
@@ -56,12 +66,24 @@ class BAProblem(NamedTuple):
     pose_mask: jax.Array  # (P, 6) float; 0 = frozen dof
     cam_mask: jax.Array  # (C, 12) float
     point_mask: jax.Array  # (M, 3) float
+    pt_gather: Optional[jax.Array] = None  # (M, T) int32 obs idx, -1 = pad
+    pose_gather: Optional[jax.Array] = None  # (P, S) int32 obs idx, -1 = pad
+    cam_onehot: Optional[jax.Array] = None  # (N, C) float one-hot
+    # pose-major dense layout companions (see lm_step): indices of each
+    # point's observations in the flattened (P*S) pose-major space, and the
+    # point index of every (P, S) slot
+    pt_gather_ps: Optional[jax.Array] = None  # (M, T) int32 into P*S, -1 pad
+    ps_point_idx: Optional[jax.Array] = None  # (P, S) int32, 0 for pads
 
 
 @dataclasses.dataclass(frozen=True)
 class BAOptions:
     max_iterations: int = 50
     cg_iterations: int = 30
+    # static switch: when False, intrinsics Jacobians/updates are skipped
+    # entirely (smaller + faster program). cam_mask can still freeze dofs
+    # dynamically when True.
+    refine_intrinsics: bool = True
     loss: str = "trivial"  # trivial | huber | cauchy | soft_l1
     loss_scale: float = 1.0  # in pixels
     initial_lambda: float = 1e-4
@@ -89,8 +111,13 @@ def _project_residual(pose, cam, point, xy, model_id: int):
     return jnp.where(z > 1e-8, r, jnp.zeros_like(r) + 1e3)
 
 
-def _obs_residual_and_jac(problem: BAProblem, model_id: int):
-    """Per-observation residuals (N, 2) and Jacobians wrt local params."""
+def _obs_residual_and_jac(problem: BAProblem, model_id: int,
+                          with_cam: bool = True):
+    """Per-observation residuals (N, 2) and Jacobians wrt local params.
+
+    with_cam=False skips the 12 intrinsics tangents (12 of 21 forward-mode
+    passes) and returns Jc = zeros — used when intrinsics are frozen.
+    """
 
     poses = problem.poses[problem.obs_pose_idx]  # (N, 7)
     cams = problem.cam_params[problem.obs_cam_idx]  # (N, 12)
@@ -113,8 +140,9 @@ def _obs_residual_and_jac(problem: BAProblem, model_id: int):
         return res_local(dp, dc, dx, pose, cam, point, xy)
 
     r = jax.vmap(single)(zeros6, zeros12, zeros3, poses, cams, points, problem.obs_xy)
-    Jp, Jc, Jx = jax.vmap(
-        lambda pose, cam, point, xy: jax.jacfwd(single, argnums=(0, 1, 2))(
+    argnums = (0, 1, 2) if with_cam else (0, 2)
+    jac = jax.vmap(
+        lambda pose, cam, point, xy: jax.jacfwd(single, argnums=argnums)(
             jnp.zeros(6, poses.dtype),
             jnp.zeros(12, cams.dtype),
             jnp.zeros(3, points.dtype),
@@ -124,6 +152,11 @@ def _obs_residual_and_jac(problem: BAProblem, model_id: int):
             xy,
         )
     )(poses, cams, points, problem.obs_xy)
+    if with_cam:
+        Jp, Jc, Jx = jac
+    else:
+        Jp, Jx = jac
+        Jc = jnp.zeros(poses.shape[:1] + (2, 12), poses.dtype)
     return r, Jp, Jc, Jx  # (N,2), (N,2,6), (N,2,12), (N,2,3)
 
 
@@ -172,12 +205,83 @@ def compute_cost(problem: BAProblem, options: BAOptions) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+def _inv3x3_sym(A: jax.Array) -> jax.Array:
+    """Closed-form batched symmetric 3x3 inverse (adjugate) — avoids the
+    batched-LU custom call, which dominated the LM profile on TPU."""
+    a = A[..., 0, 0]
+    b = A[..., 0, 1]
+    c = A[..., 0, 2]
+    d = A[..., 1, 1]
+    e = A[..., 1, 2]
+    f = A[..., 2, 2]
+    co00 = d * f - e * e
+    co01 = c * e - b * f
+    co02 = b * e - c * d
+    co11 = a * f - c * c
+    co12 = b * c - a * e
+    co22 = a * d - b * b
+    det = a * co00 + b * co01 + c * co02
+    idet = 1.0 / jnp.where(jnp.abs(det) > 1e-20, det, 1e-20)
+    row0 = jnp.stack([co00, co01, co02], -1)
+    row1 = jnp.stack([co01, co11, co12], -1)
+    row2 = jnp.stack([co02, co12, co22], -1)
+    return jnp.stack([row0, row1, row2], -2) * idet[..., None, None]
+
+
 def _psum(x, axis_name):
     return jax.lax.psum(x, axis_name) if axis_name is not None else x
 
 
 def _segsum(x, idx, n):
     return jax.ops.segment_sum(x, idx, num_segments=n)
+
+
+def _gather_reduce(vals: jax.Array, gather: jax.Array) -> jax.Array:
+    """Scatter-free segment sum: vals (N, ...) summed per gather row.
+
+    gather: (G, T) int32 indices into the obs axis; -1 entries are padding.
+    Returns (G, ...).
+    """
+    idx = jnp.maximum(gather, 0)
+    mask = (gather >= 0).astype(vals.dtype)
+    g = jnp.take(vals, idx.reshape(-1), axis=0)
+    g = g.reshape(gather.shape + vals.shape[1:])
+    mask = mask.reshape(mask.shape + (1,) * (vals.ndim - 1))
+    return jnp.sum(g * mask, axis=1)
+
+
+def _make_reducers(problem: "BAProblem", axis_name, P: int, C: int, M: int):
+    """Returns (point_reduce, pose_reduce, cam_reduce) closures."""
+    if axis_name is None and problem.pt_gather is not None:
+        pt_g = problem.pt_gather
+        pose_g = problem.pose_gather
+        cam_oh = problem.cam_onehot
+
+        def point_reduce(v):
+            return _gather_reduce(v, pt_g)
+
+        def pose_reduce(v):
+            return _gather_reduce(v, pose_g)
+
+        def cam_reduce(v):
+            # (N, ...) -> (C, ...) via one-hot MXU contraction
+            flat = v.reshape(v.shape[0], -1)
+            out = jnp.einsum("nc,nk->ck", cam_oh, flat,
+                             preferred_element_type=flat.dtype)
+            return out.reshape((C,) + v.shape[1:])
+
+        return point_reduce, pose_reduce, cam_reduce
+
+    def point_reduce(v):
+        return _psum(_segsum(v, problem.obs_point_idx, M), axis_name)
+
+    def pose_reduce(v):
+        return _psum(_segsum(v, problem.obs_pose_idx, P), axis_name)
+
+    def cam_reduce(v):
+        return _psum(_segsum(v, problem.obs_cam_idx, C), axis_name)
+
+    return point_reduce, pose_reduce, cam_reduce
 
 
 class LMState(NamedTuple):
@@ -195,7 +299,12 @@ def lm_step(state: LMState, options: BAOptions, axis_name: Optional[str] = None)
     C = problem.cam_params.shape[0]
     M = problem.points.shape[0]
 
-    r, Jp, Jc, Jx = _obs_residual_and_jac(problem, options.camera_model_id)
+    use_cam = options.refine_intrinsics
+    r, Jp, Jc, Jx = _obs_residual_and_jac(problem, options.camera_model_id,
+                                          with_cam=use_cam)
+    point_reduce, pose_reduce, cam_reduce = _make_reducers(
+        problem, axis_name, P, C, M)
+    use_ps = axis_name is None and problem.pt_gather_ps is not None
 
     # robust IRLS scaling + observation weights + frozen-dof column masks
     r2 = jnp.sum(r * r, axis=-1)
@@ -207,67 +316,103 @@ def lm_step(state: LMState, options: BAOptions, axis_name: Optional[str] = None)
     Jx = Jx * sw[..., None] * problem.point_mask[problem.obs_point_idx][:, None, :]
 
     # ---- point (landmark) blocks -----------------------------------------
-    Hxx = _psum(
-        _segsum(jnp.einsum("nki,nkj->nij", Jx, Jx), problem.obs_point_idx, M),
-        axis_name,
-    )  # (M, 3, 3)
-    gx = _psum(
-        _segsum(jnp.einsum("nki,nk->ni", Jx, r), problem.obs_point_idx, M), axis_name
-    )  # (M, 3) = Jx^T r
+    Hxx = point_reduce(jnp.einsum("nki,nkj->nij", Jx, Jx))  # (M, 3, 3)
+    gx = point_reduce(jnp.einsum("nki,nk->ni", Jx, r))  # (M, 3) = Jx^T r
 
     lam = state.lam
     eye3 = jnp.eye(3, dtype=Hxx.dtype)
     dHxx = jnp.maximum(jnp.diagonal(Hxx, axis1=-2, axis2=-1), 1e-6)  # (M, 3)
     Hxx_d = Hxx + lam * dHxx[..., None] * eye3 + 1e-8 * eye3
-    Hxx_inv = jnp.linalg.inv(Hxx_d)  # batched 3x3
+    Hxx_inv = _inv3x3_sym(Hxx_d)  # closed-form batched 3x3
 
     # ---- camera-side diagonal blocks (preconditioner + damping) -----------
-    Hpp = _psum(
-        _segsum(jnp.einsum("nki,nkj->nij", Jp, Jp), problem.obs_pose_idx, P), axis_name
-    )  # (P, 6, 6)
-    Hcc = _psum(
-        _segsum(jnp.einsum("nki,nkj->nij", Jc, Jc), problem.obs_cam_idx, C), axis_name
-    )  # (C, 12, 12)
-    gp = _psum(_segsum(jnp.einsum("nki,nk->ni", Jp, r), problem.obs_pose_idx, P), axis_name)
-    gc = _psum(_segsum(jnp.einsum("nki,nk->ni", Jc, r), problem.obs_cam_idx, C), axis_name)
+    Hpp = pose_reduce(jnp.einsum("nki,nkj->nij", Jp, Jp))  # (P, 6, 6)
+    Hcc = cam_reduce(jnp.einsum("nki,nkj->nij", Jc, Jc))  # (C, 12, 12)
+    gp = pose_reduce(jnp.einsum("nki,nk->ni", Jp, r))
+    gc = cam_reduce(jnp.einsum("nki,nk->ni", Jc, r))
 
     eye6 = jnp.eye(6, dtype=Hpp.dtype)
     eye12 = jnp.eye(12, dtype=Hcc.dtype)
     dHpp = jnp.maximum(jnp.diagonal(Hpp, axis1=-2, axis2=-1), 1e-6)
     dHcc = jnp.maximum(jnp.diagonal(Hcc, axis1=-2, axis2=-1), 1e-6)
-    Hpp_prec = Hpp + lam * dHpp[..., None] * eye6 + 1e-8 * eye6
+    # true SCHUR_JACOBI preconditioner (reference: ceres schur_jacobi):
+    # S[p,p] = Hpp[p] - sum_n W_n Hxx^-1 W_n^T over obs n of pose p
+    # (one observation per (pose, point) pair, so the self term is per-obs)
+    W = jnp.einsum("nki,nkj->nij", Jp, Jx)  # (N, 6, 3)
+    WV = jnp.einsum("nij,njk->nik", W, Hxx_inv[problem.obs_point_idx])
+    S_self = pose_reduce(jnp.einsum("nik,njk->nij", WV, W))  # (P, 6, 6)
+    Hpp_prec = Hpp - S_self + lam * dHpp[..., None] * eye6 + 1e-8 * eye6
     Hcc_prec = Hcc + lam * dHcc[..., None] * eye12 + 1e-8 * eye12
     Hpp_prec_inv = jnp.linalg.inv(Hpp_prec)
     Hcc_prec_inv = jnp.linalg.inv(Hcc_prec)
 
     # ---- matrix-free Schur operator ---------------------------------------
-    def S_matvec(u_pose, u_cam):
-        # a_k = Jp u[p] + Jc u[c]                    (N, 2)
-        a = jnp.einsum("nki,ni->nk", Jp, u_pose[problem.obs_pose_idx]) + jnp.einsum(
-            "nki,ni->nk", Jc, u_cam[problem.obs_cam_idx]
-        )
-        # v_m = sum Jx^T a                           (M, 3)
-        v = _psum(_segsum(jnp.einsum("nki,nk->ni", Jx, a), problem.obs_point_idx, M), axis_name)
-        wv = jnp.einsum("mij,mj->mi", Hxx_inv, v)
-        b = a - jnp.einsum("nki,ni->nk", Jx, wv[problem.obs_point_idx])
-        out_pose = _psum(
-            _segsum(jnp.einsum("nki,nk->ni", Jp, b), problem.obs_pose_idx, P), axis_name
-        ) + lam * dHpp * u_pose + 1e-8 * u_pose
-        out_cam = _psum(
-            _segsum(jnp.einsum("nki,nk->ni", Jc, b), problem.obs_cam_idx, C), axis_name
-        ) + lam * dHcc * u_cam + 1e-8 * u_cam
-        return out_pose, out_cam
+    if use_ps:
+        # pose-major dense layout: every reduction over a pose is a plain
+        # axis-sum over S, u_pose broadcasts without a gather — the CG loop
+        # runs as a handful of dense (P, S, ...) contractions (fast on
+        # TPU, where gathers are cheap and scatters/sorts are not, and the
+        # op count stays minimal)
+        Sg = problem.pose_gather  # (P, S)
+        ps_mask = (Sg >= 0)
+
+        def to_ps(v):
+            g = jnp.take(v, jnp.maximum(Sg, 0).reshape(-1), axis=0)
+            g = g.reshape(Sg.shape + v.shape[1:])
+            m = ps_mask.reshape(ps_mask.shape + (1,) * (v.ndim - 1))
+            return g * m.astype(g.dtype)
+
+        Jp_l = to_ps(Jp)  # (P, S, 2, 6)
+        Jx_l = to_ps(Jx)
+        ptidx_l = problem.ps_point_idx  # (P, S)
+        gidx = problem.pt_gather_ps  # (M, T) into P*S
+        gmask = (gidx >= 0)
+        if use_cam:
+            Jc_l = to_ps(Jc)
+            oh_l = to_ps(problem.cam_onehot)  # (P, S, C)
+            cam_idx_l = jnp.where(
+                ps_mask, problem.obs_cam_idx[jnp.maximum(Sg, 0)], 0)
+
+        def S_matvec(u_pose, u_cam):
+            a = jnp.einsum("pski,pi->psk", Jp_l, u_pose)
+            if use_cam:
+                a = a + jnp.einsum("pski,psi->psk", Jc_l, u_cam[cam_idx_l])
+            q = jnp.einsum("pski,psk->psi", Jx_l, a).reshape(-1, 3)
+            gv = jnp.take(q, jnp.maximum(gidx, 0).reshape(-1), axis=0)
+            gv = gv.reshape(gidx.shape + (3,))
+            v = jnp.sum(gv * gmask[..., None], axis=1)  # (M, 3)
+            wv = jnp.einsum("mij,mj->mi", Hxx_inv, v)
+            b = a - jnp.einsum("pski,psi->psk", Jx_l, wv[ptidx_l])
+            out_pose = jnp.einsum("pski,psk->pi", Jp_l, b) \
+                + lam * dHpp * u_pose + 1e-8 * u_pose
+            if use_cam:
+                contrib = jnp.einsum("pski,psk->psi", Jc_l, b)
+                out_cam = jnp.einsum("psc,psi->ci", oh_l, contrib) \
+                    + lam * dHcc * u_cam + 1e-8 * u_cam
+            else:
+                out_cam = u_cam
+            return out_pose, out_cam
+    else:
+        def S_matvec(u_pose, u_cam):
+            # a_k = Jp u[p] + Jc u[c]                    (N, 2)
+            a = jnp.einsum("nki,ni->nk", Jp, u_pose[problem.obs_pose_idx]) \
+                + jnp.einsum("nki,ni->nk", Jc, u_cam[problem.obs_cam_idx])
+            # v_m = sum Jx^T a                           (M, 3)
+            v = point_reduce(jnp.einsum("nki,nk->ni", Jx, a))
+            wv = jnp.einsum("mij,mj->mi", Hxx_inv, v)
+            b = a - jnp.einsum("nki,ni->nk", Jx, wv[problem.obs_point_idx])
+            out_pose = pose_reduce(jnp.einsum("nki,nk->ni", Jp, b)) \
+                + lam * dHpp * u_pose + 1e-8 * u_pose
+            out_cam = cam_reduce(jnp.einsum("nki,nk->ni", Jc, b)) \
+                + lam * dHcc * u_cam + 1e-8 * u_cam
+            return out_pose, out_cam
 
     # reduced RHS: -g_cam + W Hxx^-1 g_x
     hg = jnp.einsum("mij,mj->mi", Hxx_inv, gx)  # (M, 3)
     # b_k correction term: Jcam^T Jx Hxx^-1 gx
     t = jnp.einsum("nki,ni->nk", Jx, hg[problem.obs_point_idx])  # (N, 2)
-    rhs_pose = -gp + _psum(
-        _segsum(jnp.einsum("nki,nk->ni", Jp, t), problem.obs_pose_idx, P), axis_name
-    )
-    rhs_cam = -gc + _psum(
-        _segsum(jnp.einsum("nki,nk->ni", Jc, t), problem.obs_cam_idx, C), axis_name
-    )
+    rhs_pose = -gp + pose_reduce(jnp.einsum("nki,nk->ni", Jp, t))
+    rhs_cam = -gc + cam_reduce(jnp.einsum("nki,nk->ni", Jc, t))
 
     def precond(u_pose, u_cam):
         return (
@@ -306,9 +451,7 @@ def lm_step(state: LMState, options: BAOptions, axis_name: Optional[str] = None)
     a = jnp.einsum("nki,ni->nk", Jp, du_pose[problem.obs_pose_idx]) + jnp.einsum(
         "nki,ni->nk", Jc, du_cam[problem.obs_cam_idx]
     )
-    rhs_x = -gx - _psum(
-        _segsum(jnp.einsum("nki,nk->ni", Jx, a), problem.obs_point_idx, M), axis_name
-    )
+    rhs_x = -gx - point_reduce(jnp.einsum("nki,nk->ni", Jx, a))
     dx = jnp.einsum("mij,mj->mi", Hxx_inv, rhs_x)
 
     # apply masks (frozen dofs stay put even with numerical noise)
@@ -372,6 +515,58 @@ def solve(problem: BAProblem, options: BAOptions, axis_name: Optional[str] = Non
 # ---------------------------------------------------------------------------
 
 
+def build_gather_layouts(obs_point_idx, obs_pose_idx, obs_cam_idx,
+                         obs_weight, M: int, P: int, C: int,
+                         max_pad_ratio: float = 8.0):
+    """Host-side construction of the scatter-free reduction layouts.
+
+    Returns (pt_gather (M, T), pose_gather (P, S), cam_onehot (N, C)) as
+    numpy arrays, or (None, None, None) when padding would blow up memory
+    (heavily skewed per-pose observation counts).
+    """
+    import numpy as np
+
+    pt = np.asarray(obs_point_idx)
+    po = np.asarray(obs_pose_idx)
+    cam = np.asarray(obs_cam_idx)
+    w = np.asarray(obs_weight)
+    n = len(pt)
+    live = w > 0
+
+    def layout(idx, num_rows):
+        counts = np.bincount(idx[live], minlength=num_rows)
+        t = int(counts.max()) if len(counts) else 1
+        t = max(t, 1)
+        t = 1 << (t - 1).bit_length()  # next pow2 (stable jit buckets)
+        if t * num_rows > max_pad_ratio * max(n, 1):
+            return None
+        out = np.full((num_rows, t), -1, np.int32)
+        order = np.argsort(idx[live], kind="stable")
+        flat_idx = np.nonzero(live)[0][order]
+        sorted_rows = idx[live][order]
+        offsets = np.searchsorted(sorted_rows, np.arange(num_rows))
+        col = np.arange(len(flat_idx)) - offsets[sorted_rows]
+        out[sorted_rows, col] = flat_idx
+        return out
+
+    pt_g = layout(pt, M)
+    pose_g = layout(po, P)
+    if pt_g is None or pose_g is None:
+        return None, None, None, None, None
+    oh = np.zeros((n, C), np.float32)
+    oh[np.arange(n), cam] = live.astype(np.float32)
+    # pose-major companions: position of each obs in the (P*S) space
+    S = pose_g.shape[1]
+    pos_in_ps = np.full(n, -1, np.int64)
+    rows, cols = np.nonzero(pose_g >= 0)
+    pos_in_ps[pose_g[rows, cols]] = rows * S + cols
+    pt_g_ps = np.where(pt_g >= 0, pos_in_ps[np.maximum(pt_g, 0)], -1
+                       ).astype(np.int32)
+    ps_point = np.where(pose_g >= 0, pt[np.maximum(pose_g, 0)], 0
+                        ).astype(np.int32)
+    return pt_g, pose_g, oh, pt_g_ps, ps_point
+
+
 def make_problem(
     poses,
     cam_params,
@@ -415,6 +610,10 @@ def make_problem(
     if refine_extra_params:
         cam_mask[:, 4:] = 1.0
 
+    pt_g, pose_g, cam_oh, pt_g_ps, ps_point = build_gather_layouts(
+        obs_point_idx, obs_pose_idx, obs_cam_idx, np.asarray(obs_weight),
+        M, P, C)
+
     return BAProblem(
         poses=poses,
         cam_params=cam_params,
@@ -427,4 +626,9 @@ def make_problem(
         pose_mask=jnp.asarray(pose_mask, dtype),
         cam_mask=jnp.asarray(cam_mask, dtype),
         point_mask=jnp.ones((M, 3), dtype),
+        pt_gather=None if pt_g is None else jnp.asarray(pt_g),
+        pose_gather=None if pose_g is None else jnp.asarray(pose_g),
+        cam_onehot=None if cam_oh is None else jnp.asarray(cam_oh, dtype),
+        pt_gather_ps=None if pt_g_ps is None else jnp.asarray(pt_g_ps),
+        ps_point_idx=None if ps_point is None else jnp.asarray(ps_point),
     )

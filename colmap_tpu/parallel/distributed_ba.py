@@ -34,6 +34,13 @@ def shard_problem(problem: ba.BAProblem, n_shards: int) -> ba.BAProblem:
         obs_point_idx=pad_obs(problem.obs_point_idx),
         obs_xy=pad_obs(problem.obs_xy),
         obs_weight=pad_obs(problem.obs_weight),  # padding rows weight 0
+        # the single-device gather layouts don't shard — the distributed
+        # path reduces with segment_sum + psum instead
+        pt_gather=None,
+        pose_gather=None,
+        cam_onehot=None,
+        pt_gather_ps=None,
+        ps_point_idx=None,
     )
 
 
