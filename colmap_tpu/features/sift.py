@@ -4,8 +4,9 @@ Re-design of the reference SIFT stack (reference: src/colmap/feature/sift.cc:139
 SiftCPUFeatureExtractor over VLFeat, src/thirdparty/SiftGPU for the GPU path;
 options mirror src/colmap/feature/sift.h:37-113) as a shape-static JAX program:
 
-- Gaussian scale space: separable convolutions per octave (bandwidth-bound,
-  f32, computed incrementally level-to-level exactly like VLFeat).
+- Gaussian scale space: separable Gaussian blurs expressed as dense banded
+  MXU matmuls (1-channel convolutions cannot use the MXU and are ~4x
+  slower), computed incrementally level-to-level exactly like VLFeat.
 - DoG extrema: one 3x3x3 `reduce_window` max/min over the stacked DoG volume
   instead of the reference's per-pixel neighbor loop
   (src/thirdparty/VLFeat/sift.c vl_sift_detect).
@@ -15,10 +16,13 @@ options mirror src/colmap/feature/sift.h:37-113) as a shape-static JAX program:
 - Subpixel refinement: the 3x3x3 neighborhoods of ALL candidates are fetched
   with one bulk gather ([K, 27]) and the Newton steps are closed-form 3x3
   adjugate solves on [K]-vectors — no per-keypoint control flow.
-- Orientation + descriptor: fixed sample grids gathered bilinearly from the
-  gradient volumes in four bulk `take`s; histogram accumulation is expressed
-  as one-hot contractions (einsum over the keypoint batch → dense GEMMs on
-  the MXU).
+- Orientation + descriptor: fixed sample grids gathered from a PACKED
+  (gx, gy) gradient volume (one gather fetches both components); the
+  orientation histogram samples nearest-neighbor (36 coarse bins), the
+  descriptor bilinearly; histogram accumulation is expressed as one-hot
+  contractions (einsum over the keypoint batch → dense GEMMs on the MXU).
+- Candidate selection uses `lax.approx_max_k` (TPU-native) instead of a
+  full sort of the response map.
 - Output: fixed-capacity (max_num_features) keypoint arrays + valid mask;
   descriptors L1-root normalized to uint8 exactly like the reference
   (sift.cc L1_ROOT + FeatureDescriptorsToUInt8).
@@ -84,20 +88,29 @@ def _gaussian_kernel(sigma: float) -> np.ndarray:
     return (k / k.sum()).astype(np.float32)
 
 
+def _band_matrix(n: int, sigma: float) -> jax.Array:
+    """Row-normalized Gaussian band matrix [n, n] built in-graph."""
+    i = jax.lax.broadcasted_iota(_F32, (n, n), 0)
+    j = jax.lax.broadcasted_iota(_F32, (n, n), 1)
+    B = jnp.exp(-0.5 * ((i - j) / sigma) ** 2)
+    return B / jnp.sum(B, axis=1, keepdims=True)
+
+
 def _blur(img: jax.Array, sigma: float) -> jax.Array:
-    """Separable Gaussian blur of a [H, W] image (static kernel size)."""
+    """Separable Gaussian blur of a [H, W] image as two MXU matmuls.
+
+    Dense banded matrices beat 1-channel convolutions on TPU by ~4x (the
+    conv path cannot use the MXU); row normalization renormalizes the
+    Gaussian at the borders. Explicit HIGHEST precision: DoG peak
+    thresholds (~7e-3) are below bf16 resolution.
+    """
     if sigma < 1e-6:
         return img
-    k = jnp.asarray(_gaussian_kernel(sigma))
-    kw = k.shape[0]
-    x = img[None, None]  # [1, 1, H, W]
-    x = jax.lax.conv_general_dilated(
-        x, k.reshape(1, 1, 1, kw), (1, 1), [(0, 0), (kw // 2, kw // 2)],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))
-    x = jax.lax.conv_general_dilated(
-        x, k.reshape(1, 1, kw, 1), (1, 1), [(kw // 2, kw // 2), (0, 0)],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))
-    return x[0, 0]
+    h, w = img.shape
+    Bh = _band_matrix(h, sigma)
+    Bw = _band_matrix(w, sigma)
+    hp = jax.lax.Precision.HIGHEST
+    return jnp.matmul(jnp.matmul(Bh, img, precision=hp), Bw.T, precision=hp)
 
 
 def _upsample2(img: jax.Array) -> jax.Array:
@@ -145,7 +158,13 @@ def _detect_candidates(dog: jax.Array, peak_threshold: float, cap: int):
     resp = jnp.where(is_ext, jnp.abs(c), 0.0)
     flat = resp.reshape(-1)
     k = min(cap, flat.shape[0])
-    vals, idx = jax.lax.top_k(flat, k)
+    if flat.shape[0] > 4 * k:
+        # TPU-optimized approximate top-k (avoids a full sort of the
+        # response map; recall ~0.95 at default settings, and candidates
+        # beyond the cap are borderline-response duplicates anyway)
+        vals, idx = jax.lax.approx_max_k(flat, k)
+    else:
+        vals, idx = jax.lax.top_k(flat, k)
     hw = (h - 2) * (w - 2)
     s = idx // hw + 1
     rem = idx % hw
@@ -245,12 +264,13 @@ def _gradients(gauss: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return gx, gy
 
 
-def _bilinear_vol(vol_flat: jax.Array, h: int, w: int, base: jax.Array,
-                  ys: jax.Array, xs: jax.Array) -> jax.Array:
-    """Bilinear sample of a flattened [L, H, W] volume.
+def _bilinear_vol2(grad_flat: jax.Array, h: int, w: int, base: jax.Array,
+                   ys: jax.Array, xs: jax.Array):
+    """Bilinear sample of a packed-gradient [L*H*W, 2] array.
 
-    base: [K] flat offsets (level*h*w); ys, xs: [K, P] float coords.
-    Returns [K, P]; zero outside the image.
+    One gather fetches both gradient components (row of 2), halving the
+    number of gather ops vs separate gx/gy volumes. base: [K] flat offsets
+    (level*h*w); ys, xs: [K, P] float coords. Returns (gx, gy) [K, P].
     """
     y0 = jnp.floor(ys)
     x0 = jnp.floor(xs)
@@ -262,12 +282,28 @@ def _bilinear_vol(vol_flat: jax.Array, h: int, w: int, base: jax.Array,
     def tap(yi, xi, wgt):
         inb = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
         idx = base[:, None] + jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
-        return jnp.where(inb, jnp.take(vol_flat, idx) * wgt, 0.0)
+        v = jnp.take(grad_flat, idx, axis=0)  # [K, P, 2]
+        return jnp.where(inb, wgt, 0.0)[..., None] * v
 
-    return (tap(y0i, x0i, (1 - fy) * (1 - fx))
-            + tap(y0i, x0i + 1, (1 - fy) * fx)
-            + tap(y0i + 1, x0i, fy * (1 - fx))
-            + tap(y0i + 1, x0i + 1, fy * fx))
+    out = (tap(y0i, x0i, (1 - fy) * (1 - fx))
+           + tap(y0i, x0i + 1, (1 - fy) * fx)
+           + tap(y0i + 1, x0i, fy * (1 - fx))
+           + tap(y0i + 1, x0i + 1, fy * fx))
+    return out[..., 0], out[..., 1]
+
+
+def _nearest_vol2(grad_flat: jax.Array, h: int, w: int, base: jax.Array,
+                  ys: jax.Array, xs: jax.Array):
+    """Nearest-neighbor packed-gradient sample — a single gather. Used by
+    the orientation histogram (36 coarse bins are insensitive to sub-pixel
+    sampling)."""
+    yi = jnp.round(ys).astype(jnp.int32)
+    xi = jnp.round(xs).astype(jnp.int32)
+    inb = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+    idx = base[:, None] + jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
+    v = jnp.take(grad_flat, idx, axis=0)
+    v = jnp.where(inb[..., None], v, 0.0)
+    return v[..., 0], v[..., 1]
 
 
 # --------------------------------------------------------------------------
@@ -278,7 +314,7 @@ _NUM_ORI_BINS = 36
 _ORI_GRID = 16  # fixed sample grid (SiftGPU-style sampling vs VLFeat pixel loop)
 
 
-def _orientations_bulk(gx_flat, gy_flat, h, w, base, fy, fx, sigma, max_num: int):
+def _orientations_bulk(grad_flat, h, w, base, fy, fx, sigma, max_num: int):
     """Dominant orientations for all keypoints at once.
 
     fy, fx, sigma: [K]. Returns theta [K, max_num], valid [K, max_num].
@@ -297,8 +333,7 @@ def _orientations_bulk(gx_flat, gy_flat, h, w, base, fy, fx, sigma, max_num: int
     wrad = 3.0 * wsig
     ys = fy[:, None] + unit[0][None, :] * wrad[:, None]  # [K, P]
     xs = fx[:, None] + unit[1][None, :] * wrad[:, None]
-    sgx = _bilinear_vol(gx_flat, h, w, base, ys, xs)
-    sgy = _bilinear_vol(gy_flat, h, w, base, ys, xs)
+    sgx, sgy = _nearest_vol2(grad_flat, h, w, base, ys, xs)
     mag = jnp.sqrt(sgx * sgx + sgy * sgy)
     ang = jnp.arctan2(sgy, sgx)  # [-pi, pi]
     r2 = r2u[None, :] * (wrad * wrad)[:, None]
@@ -342,7 +377,7 @@ _DESC_GRID = 16  # sample grid per axis
 _MAGNIF = 3.0
 
 
-def _descriptors_bulk(gx_flat, gy_flat, h, w, base, fy, fx, sigma, theta):
+def _descriptors_bulk(grad_flat, h, w, base, fy, fx, sigma, theta):
     """128-D SIFT descriptors for all oriented keypoints at once ([K] inputs).
 
     Reference semantics: VLFeat vl_sift_calc_keypoint_descriptor — 4x4x8
@@ -363,8 +398,7 @@ def _descriptors_bulk(gx_flat, gy_flat, h, w, base, fy, fx, sigma, theta):
     oy = sbp[:, None] * (st[:, None] * u[None, :] + ct[:, None] * v[None, :])
     ys = fy[:, None] + oy
     xs = fx[:, None] + ox
-    sgx = _bilinear_vol(gx_flat, h, w, base, ys, xs)
-    sgy = _bilinear_vol(gy_flat, h, w, base, ys, xs)
+    sgx, sgy = _bilinear_vol2(grad_flat, h, w, base, ys, xs)
     mag = jnp.sqrt(sgx * sgx + sgy * sgy)
     ang = jnp.arctan2(sgy, sgx) - theta[:, None]
     ang = jnp.mod(ang + 4 * jnp.pi, 2 * jnp.pi)
@@ -439,13 +473,12 @@ def _extract_octave(gauss: jax.Array, octave_scale: float, opts: SiftExtractionO
 
     sigma_oct = _SIGMA0 * jnp.exp2(fs / S)  # [K] at octave resolution
     gx, gy = _gradients(gauss)
-    gx_flat = gx.reshape(-1)
-    gy_flat = gy.reshape(-1)
+    grad_flat = jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1)
     lvl = jnp.clip(jnp.round(fs).astype(jnp.int32), 0, S + 2)
     lvl_base = lvl * (h * w)
 
     max_ori = opts.max_num_orientations
-    theta, tvalid = _orientations_bulk(gx_flat, gy_flat, h, w, lvl_base,
+    theta, tvalid = _orientations_bulk(grad_flat, h, w, lvl_base,
                                        fy, fx, sigma_oct, max_ori)
 
     # flatten orientations into the keypoint axis
@@ -467,11 +500,11 @@ def _extract_octave(gauss: jax.Array, octave_scale: float, opts: SiftExtractionO
         kp_desc = jnp.zeros((n, _NBP * _NBP * _NBO), _F32)
         for s_fac in scales:
             kp_desc = kp_desc + _descriptors_bulk(
-                gx_flat, gy_flat, h, w, kp_base, kp_fy, kp_fx,
+                grad_flat, h, w, kp_base, kp_fy, kp_fx,
                 kp_sigma * float(s_fac), kp_theta)
         kp_desc = kp_desc / len(scales)
     else:
-        kp_desc = _descriptors_bulk(gx_flat, gy_flat, h, w, kp_base,
+        kp_desc = _descriptors_bulk(grad_flat, h, w, kp_base,
                                     kp_fy, kp_fx, kp_sigma, kp_theta)
 
     kp_x = kp_fx * octave_scale + coord_offset
