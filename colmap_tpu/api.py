@@ -264,3 +264,139 @@ def delaunay_meshing(workspace_path: str, output_path: str):
     from colmap_tpu.controllers import dense_reconstruction as dense
 
     return dense.run_delaunay_mesher(workspace_path, output_path)
+
+
+# ---------------------------------------------------------------------------
+# Estimator bindings (reference: pycolmap estimators/*.cc)
+# ---------------------------------------------------------------------------
+
+
+def absolute_pose_estimation(points2D, points3D, camera, max_error_px: float = 12.0,
+                             seed: int = 0):
+    """P3P LO-RANSAC + GN refinement (reference: pycolmap.absolute_pose_estimation).
+
+    points2D: (N, 2) pixels; camera: scene.reconstruction.Camera.
+    Returns dict(success, cam_from_world (7,), num_inliers, inlier_mask).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from colmap_tpu.estimators import absolute_pose as ap
+    from colmap_tpu.optim.ransac import RansacOptions, ransac
+    from colmap_tpu.sensor import models as cm
+
+    xy = np.asarray(points2D, np.float32)
+    X = np.asarray(points3D, np.float32)
+    rays = np.asarray(cm.cam_from_img(
+        camera.model_id, jnp.asarray(camera.padded_params()),
+        jnp.asarray(xy)))
+    f = camera.mean_focal_length()
+    err = max_error_px / f
+    scale = 1.0 / max(err, 1e-12) ** 2
+
+    def scaled(model, data):
+        return ap.reprojection_residuals(model, data) * scale
+
+    res = ransac(jax.random.PRNGKey(seed), ap.solve_p3p, scaled, ap.refit,
+                 (jnp.asarray(X), jnp.asarray(rays, jnp.float32)),
+                 jnp.ones(len(X), bool), 3,
+                 RansacOptions(num_samples=1024, lo_iterations=2, max_error=1.0))
+    return dict(success=bool(res.success),
+                cam_from_world=np.asarray(res.model, np.float64),
+                num_inliers=int(res.num_inliers),
+                inlier_mask=np.asarray(res.inlier_mask))
+
+
+def essential_matrix_estimation(points1, points2, camera1, camera2,
+                                max_error_px: float = 4.0, seed: int = 0):
+    """reference: pycolmap.essential_matrix_estimation."""
+    return _two_view(points1, points2, camera1, camera2, max_error_px, seed,
+                     want="E")
+
+
+def fundamental_matrix_estimation(points1, points2, max_error_px: float = 4.0,
+                                  seed: int = 0):
+    """reference: pycolmap.fundamental_matrix_estimation."""
+    return _two_view(points1, points2, None, None, max_error_px, seed,
+                     want="F")
+
+
+def homography_matrix_estimation(points1, points2, max_error_px: float = 4.0,
+                                 seed: int = 0):
+    """reference: pycolmap.homography_matrix_estimation."""
+    return _two_view(points1, points2, None, None, max_error_px, seed,
+                     want="H")
+
+
+def _two_view(points1, points2, camera1, camera2, max_error_px, seed, want):
+    import jax
+    import jax.numpy as jnp
+
+    from colmap_tpu.estimators import two_view_geometry as tvg
+    from colmap_tpu.sensor import models as cm
+
+    p1 = np.asarray(points1, np.float32)
+    p2 = np.asarray(points2, np.float32)
+    n = len(p1)
+    if camera1 is not None:
+        r1 = np.asarray(cm.cam_from_img(camera1.model_id,
+                                        jnp.asarray(camera1.padded_params()),
+                                        jnp.asarray(p1)))
+        r2 = np.asarray(cm.cam_from_img(camera2.model_id,
+                                        jnp.asarray(camera2.padded_params()),
+                                        jnp.asarray(p2)))
+        focal = np.sqrt(camera1.mean_focal_length() * camera2.mean_focal_length())
+    else:
+        r1, r2 = p1, p2
+        focal = 1.0
+    opts = tvg.TwoViewGeometryOptions(max_error_px=max_error_px,
+                                      compute_relative_pose=(want == "E"))
+    g = tvg.estimate_two_view_geometry(
+        jax.random.PRNGKey(seed), jnp.asarray(r1), jnp.asarray(r2),
+        jnp.asarray(p1), jnp.asarray(p2), jnp.ones(n, bool),
+        jnp.asarray(focal, jnp.float32), opts)
+    out = dict(success=int(g.num_inliers) >= opts.min_num_inliers,
+               num_inliers=int(g.num_inliers),
+               inlier_mask=np.asarray(g.inlier_mask),
+               config=int(g.config))
+    out["E"] = np.asarray(g.E, np.float64)
+    out["F"] = np.asarray(g.F, np.float64)
+    out["H"] = np.asarray(g.H, np.float64)
+    if want == "E":
+        out["cam2_from_cam1"] = np.asarray(g.cam2_from_cam1, np.float64)
+    return out
+
+
+def rig_absolute_pose_estimation(points2D, points3D, cam_idx, cams_from_rig,
+                                 cameras, max_error_px: float = 12.0,
+                                 seed: int = 0):
+    """Generalized (rig) absolute pose (reference:
+    pycolmap.rig_absolute_pose_estimation)."""
+    import jax
+    import jax.numpy as jnp
+
+    from colmap_tpu.estimators import generalized_pose as gp
+    from colmap_tpu.optim.ransac import RansacOptions
+    from colmap_tpu.sensor import models as cm
+
+    xy = np.asarray(points2D, np.float32)
+    cam_idx = np.asarray(cam_idx, np.int32)
+    rays = np.zeros_like(xy)
+    f_mean = np.mean([c.mean_focal_length() for c in cameras])
+    for k, cam in enumerate(cameras):
+        m = cam_idx == k
+        if m.any():
+            rays[m] = np.asarray(cm.cam_from_img(
+                cam.model_id, jnp.asarray(cam.padded_params()),
+                jnp.asarray(xy[m])))
+    res = gp.estimate_generalized_absolute_pose(
+        jax.random.PRNGKey(seed), jnp.asarray(points3D, jnp.float32),
+        jnp.asarray(rays), jnp.asarray(cam_idx),
+        jnp.asarray(np.asarray(cams_from_rig, np.float32)),
+        jnp.ones(len(xy), bool),
+        options=RansacOptions(num_samples=2048, lo_iterations=2,
+                              max_error=max_error_px / f_mean))
+    return dict(success=bool(res.success),
+                rig_from_world=np.asarray(res.rig_from_world, np.float64),
+                num_inliers=int(res.num_inliers),
+                inlier_mask=np.asarray(res.inlier_mask))

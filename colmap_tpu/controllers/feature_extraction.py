@@ -112,6 +112,11 @@ def run_feature_extraction(
                     shared_camera_id = camera_id
                 folder_camera_ids[folder] = camera_id
             image_id = database.write_image(name, camera_id)
+            if bmp.gps is not None:
+                # WGS84 position prior (reference: ImageReader writing
+                # pose_priors from EXIF GPS, image_reader.cc)
+                database.write_pose_prior(image_id, bmp.gps,
+                                          coordinate_system=1)
 
         feats = sift_mod.extract(bmp.data, sift_options)
         kp6 = sift_mod.keypoints_to_affine(

@@ -56,12 +56,23 @@ class IncrementalPipelineOptions:
 
 
 class IncrementalPipeline:
-    """Run incremental SfM from a database into Reconstruction(s)."""
+    """Run incremental SfM from a database into Reconstruction(s).
+
+    Callbacks (reference: BaseController callback registry /
+    pycolmap initial_image_pair_callback + next_image_callback,
+    pipeline/sfm.cc:116): `initial_image_pair_callback(i1, i2)` fires after
+    a successful initialization, `next_image_callback(image_id)` after each
+    registered image.
+    """
 
     def __init__(self, database: Database,
-                 options: IncrementalPipelineOptions = IncrementalPipelineOptions()):
+                 options: IncrementalPipelineOptions = IncrementalPipelineOptions(),
+                 initial_image_pair_callback=None,
+                 next_image_callback=None):
         self.database = database
         self.options = options
+        self.initial_image_pair_callback = initial_image_pair_callback
+        self.next_image_callback = next_image_callback
 
     # -- single sub-model -------------------------------------------------------
 
@@ -81,6 +92,8 @@ class IncrementalPipeline:
             logger.info("initializing with pair %s (%d inliers)",
                         pair, int(g.num_inliers))
             if candidate.register_initial_image_pair(pair[0], pair[1], g):
+                if self.initial_image_pair_callback is not None:
+                    self.initial_image_pair_callback(pair[0], pair[1])
                 return candidate
             logger.warning("initial pair %s triangulation failed, retrying",
                            pair)
@@ -125,6 +138,8 @@ class IncrementalPipeline:
                 if mapper.register_next_image(iid):
                     logger.info("registered image %d (#%d)", iid,
                                 len(mapper.registered))
+                    if self.next_image_callback is not None:
+                        self.next_image_callback(iid)
                     mapper.triangulate_image(iid)
                     mapper.adjust_local_bundle(iid)
                     mapper.filter_points()

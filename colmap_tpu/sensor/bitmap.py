@@ -52,6 +52,7 @@ class Bitmap:
     exif_focal_px: Optional[float] = None
     make: str = ""
     model: str = ""
+    gps: Optional[np.ndarray] = None  # (lat deg, lon deg, alt m)
 
     @property
     def height(self) -> int:
@@ -128,11 +129,13 @@ def read_bitmap(path: str, as_rgb: bool = False) -> Bitmap:
         raise RuntimeError("PIL is required for image IO")
     with Image.open(path) as im:
         focal, make, model = exif_focal_length_px(im, im.width)
+        gps = exif_gps_position(im)
         if as_rgb:
             data = np.asarray(im.convert("RGB"), np.uint8)
         else:
             data = np.asarray(im.convert("L"), np.float32) / 255.0
-    return Bitmap(data=data, exif_focal_px=focal, make=make, model=model)
+    return Bitmap(data=data, exif_focal_px=focal, make=make, model=model,
+                  gps=gps)
 
 
 def write_bitmap(path: str, data: np.ndarray):
@@ -173,3 +176,35 @@ def list_image_files(image_dir: str) -> list:
             if os.path.splitext(n)[1].lower() in exts:
                 files.append(os.path.relpath(os.path.join(root, n), image_dir))
     return sorted(files)
+
+
+def exif_gps_position(pil_img):
+    """EXIF GPS (lat deg, lon deg, alt m) or None
+    (reference: Bitmap::ExifLatitude/Longitude/Altitude, bitmap.cc)."""
+    try:
+        exif = pil_img.getexif()
+        gps = exif.get_ifd(0x8825)  # GPSInfo IFD
+    except Exception:
+        return None
+    if not gps:
+        return None
+
+    def dms(v, ref, neg):
+        try:
+            d = float(v[0]) + float(v[1]) / 60.0 + float(v[2]) / 3600.0
+            return -d if ref in neg else d
+        except Exception:
+            return None
+
+    lat = dms(gps.get(2), str(gps.get(1, "N")), ("S",))
+    lon = dms(gps.get(4), str(gps.get(3, "E")), ("W",))
+    if lat is None or lon is None:
+        return None
+    alt = 0.0
+    try:
+        alt = float(gps.get(6, 0.0))
+        if int(gps.get(5, 0)) == 1:
+            alt = -alt
+    except Exception:
+        pass
+    return np.array([lat, lon, alt], np.float64)

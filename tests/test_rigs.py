@@ -162,3 +162,65 @@ def test_rig_bundle_adjustment(rng):
     # recovered extrinsics match GT
     np.testing.assert_allclose(np.asarray(solved.cams_from_rig)[1:, 4:],
                                cams_from_rig[1:, 4:], atol=5e-3)
+
+
+def test_generalized_relative_pose(rng):
+    """Two rig positions; mixed same/cross-camera correspondences recover
+    the metric rig motion (scale from the rig baseline)."""
+    import jax
+
+    from colmap_tpu.optim.ransac import RansacOptions
+
+    cams_from_rig = _rig_setup(rng, num_cams=2)
+    q = _quat(rng, 0.15)
+    t = np.array([0.8, 0.1, 0.3])
+    rig2_from_rig1 = np.concatenate([q, t]).astype(np.float32)
+
+    n = 200
+    X = rng.uniform(-4, 4, (n, 3)).astype(np.float32)
+    X[:, 2] += 8
+    cam_idx1 = rng.integers(0, 2, n).astype(np.int32)
+    # half same-camera, half cross-camera observations
+    cam_idx2 = np.where(rng.uniform(size=n) < 0.5, cam_idx1,
+                        rng.integers(0, 2, n)).astype(np.int32)
+
+    def project(rig_pose, cidx, X):
+        uv = np.zeros((len(X), 2), np.float32)
+        ok = np.ones(len(X), bool)
+        for k, x in enumerate(X):
+            pose = np.asarray(rigid3.compose(
+                jnp.asarray(cams_from_rig[cidx[k]]),
+                jnp.asarray(rig_pose, jnp.float32)))
+            pc = np.asarray(rigid3.apply(jnp.asarray(pose), jnp.asarray(x)))
+            if pc[2] < 0.5:
+                ok[k] = False
+                continue
+            uv[k] = pc[:2] / pc[2]
+        return uv, ok
+
+    identity = np.array([1, 0, 0, 0, 0, 0, 0], np.float32)
+    uv1, ok1 = project(identity, cam_idx1, X)
+    uv2, ok2 = project(rig2_from_rig1, cam_idx2, X)
+    keep = ok1 & ok2
+    uv1, uv2 = uv1[keep], uv2[keep]
+    c1, c2 = cam_idx1[keep], cam_idx2[keep]
+    n2 = keep.sum()
+    # 15% outliers
+    bad = rng.choice(n2, n2 // 7, replace=False)
+    uv2[bad] += rng.normal(0, 0.2, (len(bad), 2)).astype(np.float32)
+
+    from colmap_tpu.estimators.generalized_pose import (
+        estimate_generalized_relative_pose)
+
+    res = estimate_generalized_relative_pose(
+        jax.random.PRNGKey(1), jnp.asarray(uv1), jnp.asarray(uv2),
+        jnp.asarray(c1), jnp.asarray(c2), jnp.asarray(cams_from_rig),
+        jnp.ones(int(n2), bool),
+        options=RansacOptions(num_samples=4096, lo_iterations=3,
+                              max_error=2e-3))
+    pose = np.asarray(res.rig_from_world)
+    dq = abs(np.dot(pose[:4] / np.linalg.norm(pose[:4]), rig2_from_rig1[:4]))
+    rot_err = np.degrees(2 * np.arccos(min(dq, 1.0)))
+    assert rot_err < 1.0, (rot_err, pose)
+    # metric translation recovered (scale from the rig baseline)
+    np.testing.assert_allclose(pose[4:], rig2_from_rig1[4:], atol=0.1)
