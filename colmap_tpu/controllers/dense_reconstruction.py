@@ -144,7 +144,16 @@ def run_stereo_fusion(workspace_path: str,
         depths[iid] = dm.DepthMap.read(p).data
         np_ = p.replace("depth_maps", "normal_maps")
         normals[iid] = dm.NormalMap.read(np_).data
-    cloud = fusion_mod.fuse(model, depths, normals, images, options)
+    graphs: Dict[int, object] = {}
+    cloud = fusion_mod.fuse(model, depths, normals, images, options,
+                            consistency_out=graphs)
+    cg_dir = os.path.join(workspace_path, "stereo", "consistency_graphs")
+    os.makedirs(cg_dir, exist_ok=True)
+    for iid, g in graphs.items():
+        name = model.images[iid].name
+        os.makedirs(os.path.dirname(os.path.join(cg_dir, name)) or cg_dir,
+                    exist_ok=True)
+        g.write(os.path.join(cg_dir, f"{name}.{input_type}.bin"))
     out = output_path or os.path.join(workspace_path, "fused.ply")
     fusion_mod.write_ply(out, cloud["xyz"], cloud["normal"], cloud["color"])
     logger.info("fused %d points -> %s", len(cloud["xyz"]), out)

@@ -110,13 +110,16 @@ def match_and_verify_blocks(
     match_opts = options.matching
     verify_opts = options.verification
 
-    # batched verification program (vmap over the pair axis)
+    # batched verification program (vmap over the pair axis); image sizes
+    # enable watermark detection (reference: detect_watermark default on)
     @jax.jit
-    def verify_batch(keys, rays1, rays2, pix1, pix2, valid, focal):
+    def verify_batch(keys, rays1, rays2, pix1, pix2, valid, focal,
+                     sizes1, sizes2):
         return jax.vmap(
-            lambda k, r1, r2, p1, p2, v, f: tvg.estimate_two_view_geometry(
-                k, r1, r2, p1, p2, v, f, verify_opts)
-        )(keys, rays1, rays2, pix1, pix2, valid, focal)
+            lambda k, r1, r2, p1, p2, v, f, s1, s2:
+            tvg.estimate_two_view_geometry(
+                k, r1, r2, p1, p2, v, f, verify_opts, sizes1=s1, sizes2=s2)
+        )(keys, rays1, rays2, pix1, pix2, valid, focal, sizes1, sizes2)
 
     for block in pair_blocks:
         block = list(block)
@@ -163,6 +166,9 @@ def match_and_verify_blocks(
         pix2 = np.zeros_like(rays1)
         mvalid = np.zeros((B, mcap), bool)
         focal = np.ones(B, np.float32)
+        sizes1 = np.ones((B, 2), np.float32)
+        sizes2 = np.ones((B, 2), np.float32)
+        images_meta = data.images
         for i, ((a, b), m) in enumerate(zip(block, pair_matches)):
             if len(m) == 0:
                 continue
@@ -174,12 +180,17 @@ def match_and_verify_blocks(
             pix2[i, :n] = db_["xy"][m[:n, 1]]
             mvalid[i, :n] = True
             focal[i] = np.sqrt(da["focal"] * db_["focal"])
+            cam_a = cameras[images_meta[a]["camera_id"]]
+            cam_b = cameras[images_meta[b]["camera_id"]]
+            sizes1[i] = (cam_a["width"], cam_a["height"])
+            sizes2[i] = (cam_b["width"], cam_b["height"])
 
         key, sub = jax.random.split(key)
         keys = jax.random.split(sub, B)
         res = verify_batch(keys, jnp.asarray(rays1), jnp.asarray(rays2),
                            jnp.asarray(pix1), jnp.asarray(pix2),
-                           jnp.asarray(mvalid), jnp.asarray(focal))
+                           jnp.asarray(mvalid), jnp.asarray(focal),
+                           jnp.asarray(sizes1), jnp.asarray(sizes2))
         res = jax.tree.map(np.asarray, res)
 
         # optional guided matching: re-match with the epipolar constraint
@@ -209,6 +220,8 @@ def match_and_verify_blocks(
             ni = int(res.num_inliers[i])
             if len(m) == 0 or ni < options.min_num_inliers:
                 continue
+            if int(res.config[i]) == int(tvg.TwoViewConfig.WATERMARK):
+                continue  # reference: watermark pairs are not used
             if i in guided:
                 inlier_matches = guided[i]
             else:

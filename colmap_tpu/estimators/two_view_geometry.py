@@ -14,7 +14,7 @@ from __future__ import annotations
 import dataclasses
 import enum
 from functools import partial
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -57,6 +57,11 @@ class TwoViewGeometryOptions:
         default_factory=lambda: RansacOptions(num_samples=512, lo_iterations=2)
     )
     compute_relative_pose: bool = False
+    # watermark detection (reference: DetectWatermark,
+    # two_view_geometry.cc:559) — requires image sizes to be passed
+    detect_watermark: bool = True
+    watermark_min_inlier_ratio: float = 0.7
+    watermark_border_size: float = 0.1
 
 
 class TwoViewGeometry(NamedTuple):
@@ -79,6 +84,8 @@ def estimate_two_view_geometry(
     valid: jax.Array,  # (N,) bool
     mean_focal: jax.Array,  # scalar: geometric-mean focal of the two cams
     options: TwoViewGeometryOptions,
+    sizes1: Optional[jax.Array] = None,  # (2,) [width, height] of image 1
+    sizes2: Optional[jax.Array] = None,  # enables watermark detection
 ) -> TwoViewGeometry:
     """Calibrated two-view estimation (jittable; vmap over a pair axis).
 
@@ -116,6 +123,14 @@ def estimate_two_view_geometry(
     num_inliers = jnp.where(h_dominant, jnp.maximum(nH, num_inliers), num_inliers)
     inlier_mask = jnp.where(h_dominant, res_H.inlier_mask, inlier_mask)
 
+    # watermark detection on the homography inliers (reference:
+    # DetectWatermark — inliers concentrated in the border of BOTH images
+    # that follow a pure 2D translation)
+    if options.detect_watermark and sizes1 is not None and sizes2 is not None:
+        wm = _detect_watermark(res_H.inlier_mask & valid, pix1, pix2,
+                               sizes1, sizes2, options)
+        config = jnp.where(wm, int(TwoViewConfig.WATERMARK), config)
+
     enough = num_inliers >= options.min_num_inliers
     config = jnp.where(enough, config, int(TwoViewConfig.DEGENERATE))
     num_inliers = jnp.where(enough, num_inliers, 0)
@@ -138,6 +153,38 @@ def estimate_two_view_geometry(
         cam2_from_cam1=pose,
         tri_angle=tri_angle,
     )
+
+
+def _detect_watermark(h_inliers, pix1, pix2, sizes1, sizes2,
+                      options: TwoViewGeometryOptions):
+    """Jittable watermark test (reference: two_view_geometry.cc:559)."""
+    n_inl = jnp.maximum(jnp.sum(h_inliers), 1)
+
+    def outside_box(pix, sizes):
+        diag = jnp.sqrt(sizes[0] ** 2 + sizes[1] ** 2)
+        b = options.watermark_border_size * diag
+        inside = ((pix[:, 0] > b) & (pix[:, 0] < sizes[0] - b)
+                  & (pix[:, 1] > b) & (pix[:, 1] < sizes[1] - b))
+        return ~inside
+
+    both_border = outside_box(pix1, sizes1) & outside_box(pix2, sizes2)
+    border_ratio = jnp.sum(h_inliers & both_border) / n_inl
+
+    # translational-model support: robust (median) 2D shift of the inliers
+    t = pix2 - pix1
+    big = 1e12
+
+    def masked_median(v):
+        vv = jnp.where(h_inliers, v, big)
+        sv = jnp.sort(vv)
+        k = jnp.clip(jnp.sum(h_inliers) // 2, 0, v.shape[0] - 1)
+        return sv[k]
+
+    t_med = jnp.stack([masked_median(t[:, 0]), masked_median(t[:, 1])])
+    close = jnp.sum((t - t_med[None]) ** 2, -1) < options.max_error_px ** 2
+    trans_ratio = jnp.sum(h_inliers & close) / n_inl
+    thr = options.watermark_min_inlier_ratio
+    return (border_ratio >= thr) & (trans_ratio >= thr)
 
 
 def _ransac_dynamic_error(key, solver, residual_fn, refit_fn, data, valid,

@@ -121,12 +121,14 @@ def _fuse_one(ref_depth, ref_normal, ref_img, K_ref, R_ref, t_ref,
 def fuse(model, depth_maps: Dict[int, np.ndarray],
          normal_maps: Dict[int, np.ndarray],
          images: Optional[Dict[int, np.ndarray]] = None,
-         options: StereoFusionOptions = StereoFusionOptions()
+         options: StereoFusionOptions = StereoFusionOptions(),
+         consistency_out: Optional[Dict[int, "object"]] = None
          ) -> Dict[str, np.ndarray]:
     """Fuse per-image depth/normal maps into a point cloud.
 
     model: mvs.model.MVSModel. Returns dict with xyz [N,3], normal [N,3],
-    color [N,3] uint8.
+    color [N,3] uint8. When `consistency_out` is a dict, it is filled with
+    per-reference ConsistencyGraphs (reference: mvs/consistency_graph.h).
     """
     min_cos = float(np.cos(np.radians(options.max_normal_error_deg)))
     ids = [i for i in model.images if i in depth_maps]
@@ -174,6 +176,11 @@ def fuse(model, depth_maps: Dict[int, np.ndarray],
 
         accept = (cnt + 1) >= options.min_num_pixels
         accept &= ref_active > 0
+        if consistency_out is not None:
+            from colmap_tpu.mvs.consistency_graph import ConsistencyGraph
+
+            consistency_out[ref_id] = ConsistencyGraph.from_masks(
+                ok & accept[None], srcs)
         yy, xx = np.nonzero(accept)
         if len(yy) == 0:
             continue

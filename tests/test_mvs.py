@@ -179,3 +179,24 @@ def test_surface_nets_sphere():
     assert len(faces) >= len(verts)
     rad = np.linalg.norm(verts - n / 2, axis=1)
     np.testing.assert_allclose(rad, n / 4, atol=1.0)
+
+
+def test_consistency_graph_roundtrip(tmp_path, rng):
+    from colmap_tpu.mvs.consistency_graph import ConsistencyGraph
+
+    s, h, w = 3, 12, 16
+    masks = rng.uniform(size=(s, h, w)) < 0.2
+    src_ids = [4, 7, 9]
+    g = ConsistencyGraph.from_masks(masks, src_ids)
+    # query parity with the masks
+    for r in range(h):
+        for c in range(w):
+            expect = [src_ids[k] for k in range(s) if masks[k, r, c]]
+            got = list(g.image_idxs(r, c))
+            assert got == expect, (r, c, got, expect)
+    p = str(tmp_path / "cg.bin")
+    g.write(p)
+    g2 = ConsistencyGraph.read(p)
+    assert g2.width == w and g2.height == h
+    np.testing.assert_array_equal(g2.data, g.data)
+    assert list(g2.image_idxs(3, 5)) == list(g.image_idxs(3, 5))

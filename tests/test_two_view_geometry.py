@@ -86,3 +86,45 @@ def test_outlier_contaminated(rng):
     inl = np.asarray(g.inlier_mask)
     assert inl[120:].mean() > 0.85
     assert inl[:120].mean() < 0.1
+
+
+def test_watermark_detection(rng):
+    """Border-concentrated pure-translation matches classify as WATERMARK."""
+    import jax
+    import jax.numpy as jnp
+
+    from colmap_tpu.estimators import two_view_geometry as tvg
+
+    n = 128
+    w, h = 640, 480
+    # watermark corner region (bottom-right border)
+    pix1 = np.stack([rng.uniform(w - 40, w - 4, n),
+                     rng.uniform(h - 30, h - 4, n)], -1).astype(np.float32)
+    pix2 = pix1 + np.array([1.5, -0.8], np.float32)  # constant shift
+    f = 500.0
+    rays1 = (pix1 - [w / 2, h / 2]) / f
+    rays2 = (pix2 - [w / 2, h / 2]) / f
+    opts = tvg.TwoViewGeometryOptions(compute_relative_pose=False)
+    g = tvg.estimate_two_view_geometry(
+        jax.random.PRNGKey(0), jnp.asarray(rays1), jnp.asarray(rays2),
+        jnp.asarray(pix1), jnp.asarray(pix2), jnp.ones(n, bool),
+        jnp.asarray(f, jnp.float32), opts,
+        sizes1=jnp.asarray([w, h], jnp.float32),
+        sizes2=jnp.asarray([w, h], jnp.float32))
+    assert int(g.config) == int(tvg.TwoViewConfig.WATERMARK)
+
+    # well-spread matches with real parallax are NOT watermarks
+    X = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
+    X[:, 2] += 6
+    uv1 = X[:, :2] / X[:, 2:]
+    X2 = X + np.array([1.0, 0, 0])
+    uv2 = X2[:, :2] / X2[:, 2:]
+    p1 = (uv1 * f + [w / 2, h / 2]).astype(np.float32)
+    p2 = (uv2 * f + [w / 2, h / 2]).astype(np.float32)
+    g2 = tvg.estimate_two_view_geometry(
+        jax.random.PRNGKey(0), jnp.asarray(uv1, jnp.float32),
+        jnp.asarray(uv2, jnp.float32), jnp.asarray(p1), jnp.asarray(p2),
+        jnp.ones(n, bool), jnp.asarray(f, jnp.float32), opts,
+        sizes1=jnp.asarray([w, h], jnp.float32),
+        sizes2=jnp.asarray([w, h], jnp.float32))
+    assert int(g2.config) != int(tvg.TwoViewConfig.WATERMARK)
