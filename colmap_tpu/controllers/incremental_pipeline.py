@@ -141,8 +141,11 @@ class IncrementalPipeline:
                     if self.next_image_callback is not None:
                         self.next_image_callback(iid)
                     mapper.triangulate_image(iid)
-                    mapper.adjust_local_bundle(iid)
-                    mapper.filter_points()
+                    local_pids = mapper.adjust_local_bundle(iid)
+                    # local filtering: only the points touched by the local
+                    # bundle (reference: FilterPoints3DInImages after local
+                    # BA; the full pass runs in global refinement)
+                    mapper.filter_points(pids=local_pids)
                     registered_any = True
                     self._maybe_snapshot(mapper)
 
@@ -164,10 +167,16 @@ class IncrementalPipeline:
 
     def _global_refinement(self, mapper: IncrementalMapper, final: bool = False):
         """Retriangulate + global BA + filter (reference:
-        IterativeGlobalRefinement, sfm/incremental_mapper.cc:688)."""
+        IterativeGlobalRefinement, sfm/incremental_mapper.cc:688).
+
+        Retriangulation sweeps every registered image — O(images) device
+        calls — so it runs only in the FINAL refinement (the growth-step
+        refinements just re-solve BA + filter; under-reconstruction heals
+        when the final sweep runs).
+        """
         n_img = len(mapper.registered)
         logger.info("global refinement at %d images", n_img)
-        if self.options.retriangulate:
+        if self.options.retriangulate and final:
             n_new = 0
             for iid in list(mapper.registered):
                 n_new += mapper.triangulate_image(iid)

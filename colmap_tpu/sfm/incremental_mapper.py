@@ -97,10 +97,11 @@ def _pnp_ransac(key, points3d, rays, valid, err_norm):
     )
     w = jnp.where(res.inlier_mask, 1.0, 0.0)
     pose = apose.gn_refine_pose(res.model, points3d, rays, w, num_iters=10)
-    # recompute inliers after polish
+    # recompute inliers after polish; pack everything into ONE output array
+    # (a single device->host transfer — the tunnel charges per transfer)
     r2 = apose.residuals(pose, (points3d, rays)) * scale
     inliers = (r2 < 1.0) & valid
-    return pose, inliers, jnp.sum(inliers)
+    return jnp.concatenate([pose, inliers.astype(jnp.float32)])
 
 
 @jax.jit
@@ -121,7 +122,8 @@ def _triangulate_candidates(pose_new, poses_other, rays_new, rays_other):
     z1, z2 = pc1[:, 2], pc2[:, 2]
     e1 = jnp.linalg.norm(pc1[:, :2] / jnp.where(jnp.abs(z1) > 1e-9, z1, 1e-9)[:, None] - rays_new, axis=-1)
     e2 = jnp.linalg.norm(pc2[:, :2] / jnp.where(jnp.abs(z2) > 1e-9, z2, 1e-9)[:, None] - rays_other, axis=-1)
-    return X, angle, z1, z2, e1, e2
+    # one (8, K) output = one device->host transfer
+    return jnp.concatenate([X.T, jnp.stack([angle, z1, z2, e1, e2])])
 
 
 @partial(jax.jit, static_argnames=("options",))
@@ -139,7 +141,15 @@ def _reproj_errors(poses, rays, X):
     z = pc[:, 2]
     z_safe = jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
     e = jnp.linalg.norm(pc[:, :2] / z_safe[:, None] - rays, axis=-1)
-    return e, z
+    return jnp.stack([e, z])  # one transfer
+
+
+@jax.jit
+def _pack_ba_state(state):
+    """Flatten (poses, cam_params, points) into one vector (one transfer)."""
+    pr = state.problem
+    return jnp.concatenate([pr.poses.reshape(-1), pr.cam_params.reshape(-1),
+                            pr.points.reshape(-1)])
 
 
 # ---------------------------------------------------------------------------
@@ -168,6 +178,7 @@ class IncrementalMapper:
                 )
             )
         self.registered: List[int] = []
+        self._focal_cache: Dict[int, float] = {}
         self.num_reg_trials: Dict[int, int] = {}
         self._rng = np.random.default_rng(seed)
         self._key = jax.random.PRNGKey(seed)
@@ -179,7 +190,15 @@ class IncrementalMapper:
         return k
 
     def _focal(self, image_id: int) -> float:
-        return self.rec.cameras[self.cache.images[image_id].camera_id].mean_focal_length()
+        f = self._focal_cache.get(image_id)
+        if f is None:
+            f = self.rec.cameras[
+                self.cache.images[image_id].camera_id].mean_focal_length()
+            self._focal_cache[image_id] = f
+        return f
+
+    def invalidate_focal_cache(self):
+        self._focal_cache.clear()
 
     def _pose(self, image_id: int) -> np.ndarray:
         return self.rec.images[image_id].cam_from_world.astype(np.float32)
@@ -277,9 +296,8 @@ class IncrementalMapper:
         poses2 = jnp.asarray(np.tile(self._pose(i2), (cap, 1)))
         rays1 = jnp.asarray(self._pad(im1.rays[m[:, 0]].astype(np.float32), cap))
         rays2 = jnp.asarray(self._pad(im2.rays[m[:, 1]].astype(np.float32), cap))
-        X, angle, z1, z2, e1, e2 = jax.tree.map(
-            np.asarray, _triangulate_candidates(pose1, poses2, rays1, rays2)
-        )
+        packed = np.asarray(_triangulate_candidates(pose1, poses2, rays1, rays2))
+        X, (angle, z1, z2, e1, e2) = packed[:3].T, packed[3:8]
         f1, f2 = self._focal(i1), self._focal(i2)
         min_angle = np.radians(self.options.create_min_tri_angle_deg)
         err_px = self.options.filter_max_reproj_error
@@ -385,14 +403,15 @@ class IncrementalMapper:
         rays = im.rays[corr_f].astype(np.float32)
         cap = _bucket(len(corr_f))
         focal = self._focal(image_id)
-        pose, inliers, num_inl = _pnp_ransac(
+        packed = np.asarray(_pnp_ransac(
             self._next_key(),
             jnp.asarray(self._pad(X, cap)),
             jnp.asarray(self._pad(rays, cap)),
             jnp.asarray(self._pad(np.ones(len(corr_f), bool), cap, fill=False)),
             jnp.asarray(np.float32(self.options.abs_pose_max_error / focal)),
-        )
-        num_inl = int(num_inl)
+        ))
+        pose, inliers = packed[:7], packed[7:] > 0.5
+        num_inl = int(inliers.sum())
         if num_inl < self.options.abs_pose_min_num_inliers:
             return False
         if num_inl / len(corr_f) < self.options.abs_pose_min_inlier_ratio:
@@ -428,37 +447,37 @@ class IncrementalMapper:
         im = self.cache.images[image_id]
         img_pids = self.rec.images[image_id].point3D_ids
         offsets, imgs, feats = self.cache.graph.find_correspondences_all(image_id)
-        reg = set(self.registered)
         edge_feat = np.repeat(np.arange(len(offsets) - 1), np.diff(offsets))
 
-        # --- Continue: correspondences that already have a 3D point --------
-        cont_f, cont_p = [], []
-        cand_f, cand_oi, cand_of = [], [], []
-        for e in range(len(imgs)):
-            oi = int(imgs[e])
-            if oi not in reg:
-                continue
-            f = int(edge_feat[e])
-            of = int(feats[e])
-            pid = int(self.rec.images[oi].point3D_ids[of])
-            if img_pids[f] >= 0:
-                continue
-            if pid >= 0:
-                cont_f.append(f)
-                cont_p.append(pid)
-            else:
-                cand_f.append(f)
-                cand_oi.append(oi)
-                cand_of.append(of)
+        # --- vectorized candidate classification (was a Python loop over
+        # every correspondence edge — ~100ms/image at scale) --------------
+        reg_arr = np.fromiter(self.registered, np.int64,
+                              count=len(self.registered))
+        sel = np.isin(imgs, reg_arr)
+        f_arr = edge_feat[sel].astype(np.int64)
+        oi_arr = imgs[sel].astype(np.int64)
+        of_arr = feats[sel].astype(np.int64)
+        pid_arr = np.empty(len(oi_arr), np.int64)
+        for oi in np.unique(oi_arr):
+            m = oi_arr == oi
+            pid_arr[m] = self.rec.images[int(oi)].point3D_ids[of_arr[m]]
+        free = img_pids[f_arr] < 0
+        cont_mask = free & (pid_arr >= 0)
+        cand_mask = free & (pid_arr < 0)
+        cont_f = f_arr[cont_mask]
+        cont_p = pid_arr[cont_mask]
+        cand_f = list(f_arr[cand_mask])
+        cand_oi = list(oi_arr[cand_mask])
+        cand_of = list(of_arr[cand_mask])
 
         n_new = 0
         focal = self._focal(image_id)
         pose_new = self._pose(image_id)
 
         # Continue existing tracks (batched reprojection check)
-        if cont_f:
+        if len(cont_f):
             uniq = {}
-            for f, pid in zip(cont_f, cont_p):
+            for f, pid in zip(cont_f.tolist(), cont_p.tolist()):
                 uniq.setdefault(f, pid)
             fs = np.array(list(uniq.keys()))
             pids = np.array(list(uniq.values()))
@@ -468,14 +487,12 @@ class IncrementalMapper:
             if len(fs):
                 X = np.stack([self.rec.points3D[p].xyz for p in pids]).astype(np.float32)
                 cap = _bucket(len(fs))
-                e, z = jax.tree.map(
-                    np.asarray,
-                    _reproj_errors(
-                        jnp.asarray(np.tile(pose_new, (cap, 1))),
-                        jnp.asarray(self._pad(im.rays[fs].astype(np.float32), cap)),
-                        jnp.asarray(self._pad(X, cap)),
-                    ),
-                )
+                ez = np.asarray(_reproj_errors(
+                    jnp.asarray(np.tile(pose_new, (cap, 1))),
+                    jnp.asarray(self._pad(im.rays[fs].astype(np.float32), cap)),
+                    jnp.asarray(self._pad(X, cap)),
+                ))
+                e, z = ez[0], ez[1]
                 ok = (e[: len(fs)] * focal < self.options.continue_max_reproj_error) & (
                     z[: len(fs)] > 0
                 )
@@ -498,15 +515,13 @@ class IncrementalMapper:
             rays_other = np.stack(
                 [self.cache.images[int(oi)].rays[int(of)] for oi, of in zip(cand_oi, cand_of)]
             ).astype(np.float32)
-            X, angle, z1, z2, e1, e2 = jax.tree.map(
-                np.asarray,
-                _triangulate_candidates(
-                    jnp.asarray(pose_new.astype(np.float32)),
-                    jnp.asarray(self._pad(poses_other, cap)),
-                    jnp.asarray(self._pad(im.rays[cand_f].astype(np.float32), cap)),
-                    jnp.asarray(self._pad(rays_other, cap)),
-                ),
-            )
+            packed = np.asarray(_triangulate_candidates(
+                jnp.asarray(pose_new.astype(np.float32)),
+                jnp.asarray(self._pad(poses_other, cap)),
+                jnp.asarray(self._pad(im.rays[cand_f].astype(np.float32), cap)),
+                jnp.asarray(self._pad(rays_other, cap)),
+            ))
+            X, (angle, z1, z2, e1, e2) = packed[:3].T, packed[3:8]
             min_angle = np.radians(self.options.create_min_tri_angle_deg)
             err_px = self.options.filter_max_reproj_error
             ok = (
@@ -578,12 +593,22 @@ class IncrementalMapper:
             [self.rec.cameras[cid].padded_params() for cid in cams]
         ).astype(np.float32)
 
+        # bucket EVERY axis (obs, poses, points) to powers of two — pose and
+        # point counts change with every registered image, and an unpadded
+        # problem would force a fresh XLA compile per model size
         n_obs = len(obs_xy)
         cap = _bucket(n_obs)
+        P_b = _bucket(len(all_imgs), lo=8)
+        M_b = _bucket(len(pids), lo=64)
+        identity_pose = np.array([1, 0, 0, 0, 0, 0, 0], np.float32)
+        poses_p = np.tile(identity_pose, (P_b, 1))
+        poses_p[: len(all_imgs)] = poses
+        points_p = np.zeros((M_b, 3), np.float32)
+        points_p[: len(pids)] = points
         problem = ba.make_problem(
-            poses,
+            poses_p,
             cam_params,
-            points,
+            points_p,
             self._pad(np.array(obs_pose, np.int32), cap),
             self._pad(np.array(obs_cam, np.int32), cap),
             self._pad(np.array(obs_pt, np.int32), cap),
@@ -591,25 +616,32 @@ class IncrementalMapper:
             obs_weight=self._pad(np.ones(n_obs, np.float32), cap),
             refine_intrinsics=refine_intrinsics,
         )
-        # freeze non-variable images
-        pose_mask = np.ones((len(all_imgs), 6), np.float32)
+        # freeze non-variable images + all padding rows
+        pose_mask = np.zeros((P_b, 6), np.float32)
+        pose_mask[: len(all_imgs)] = 1.0
         if fix_extra_images:
             for iid in extra:
                 pose_mask[img_index[iid]] = 0.0
-        problem = problem._replace(pose_mask=jnp.asarray(pose_mask))
+        point_mask = np.zeros((M_b, 3), np.float32)
+        point_mask[: len(pids)] = 1.0
+        problem = problem._replace(pose_mask=jnp.asarray(pose_mask),
+                                   point_mask=jnp.asarray(point_mask))
         return problem, all_imgs, pids, cams
 
     def _apply_ba_result(self, state, all_imgs, pids, cams,
                          update_intrinsics: bool = False):
-        poses = np.asarray(state.problem.poses, np.float64)
-        points = np.asarray(state.problem.points, np.float64)
+        flat = np.asarray(_pack_ba_state(state), np.float64)  # one transfer
+        P = state.problem.poses.shape[0]
+        C = state.problem.cam_params.shape[0]
+        poses = flat[: P * 7].reshape(P, 7)
+        cam_params = flat[P * 7: P * 7 + C * 12].reshape(C, 12)
+        points = flat[P * 7 + C * 12:].reshape(-1, 3)
         for k, iid in enumerate(all_imgs):
             self.rec.images[iid].cam_from_world = poses[k]
         for k, pid in enumerate(pids):
             if pid in self.rec.points3D:
                 self.rec.points3D[pid].xyz = points[k]
         if update_intrinsics:
-            cam_params = np.asarray(state.problem.cam_params, np.float64)
             for k, cid in enumerate(cams):
                 n = camera_models.NUM_PARAMS[camera_models.CameraModelId(self.rec.cameras[cid].model_id)]
                 self.rec.cameras[cid].params = cam_params[k][:n]
@@ -619,7 +651,7 @@ class IncrementalMapper:
         local = self._find_local_bundle(image_id)
         problem, all_imgs, pids, cams = self._build_ba_problem([image_id] + local)
         if problem is None:
-            return
+            return []
         if ba_options is None:
             cam0 = self.rec.cameras[self.cache.images[image_id].camera_id]
             ba_options = ba.BAOptions(
@@ -628,9 +660,11 @@ class IncrementalMapper:
                 loss="cauchy",
                 loss_scale=1.0,
                 camera_model_id=cam0.model_id,
+                refine_intrinsics=False,
             )
         state = ba.solve(problem, ba_options)
         self._apply_ba_result(state, all_imgs, pids, cams)
+        return pids
 
     def _find_local_bundle(self, image_id: int) -> List[int]:
         """Most-connected registered images by shared 3D points."""
@@ -652,8 +686,10 @@ class IncrementalMapper:
         )
         if problem is None:
             return
-        # gauge: fix first pose entirely + second pose tx
-        pose_mask = np.ones((len(all_imgs), 6), np.float32)
+        # gauge: fix first pose entirely + second pose tx (padding rows of
+        # the bucketed pose axis stay frozen)
+        pose_mask = np.zeros(problem.pose_mask.shape, np.float32)
+        pose_mask[: len(all_imgs)] = 1.0
         pose_mask[0] = 0.0
         if len(all_imgs) > 1:
             pose_mask[1, 3] = 0.0
@@ -666,18 +702,32 @@ class IncrementalMapper:
                 loss="cauchy",
                 loss_scale=1.0,
                 camera_model_id=cam0.model_id,
+                refine_intrinsics=refine_intrinsics,
             )
         state = ba.solve(problem, ba_options)
         self._apply_ba_result(state, all_imgs, pids, cams, update_intrinsics=refine_intrinsics)
+        if refine_intrinsics:
+            self.invalidate_focal_cache()
 
     # -- filtering -------------------------------------------------------------
-    def filter_points(self) -> int:
+    def filter_points(self, pids=None) -> int:
         """Drop bad observations/points (reference ObservationManager
-        FilterPoints3D: reproj error, tri angle, negative depth)."""
+        FilterPoints3D: reproj error, tri angle, negative depth).
+
+        `pids` restricts filtering to a subset (reference: local filtering
+        of just-modified points after local BA) — the full pass is O(all
+        observations) host work and only needed in global refinement.
+        """
+        if pids is None:
+            items = list(self.rec.points3D.items())
+        else:
+            items = [(pid, self.rec.points3D[pid]) for pid in pids
+                     if pid in self.rec.points3D]
+        pose_cache = {iid: self._pose(iid) for iid in self.registered}
         obs_pose, obs_rays, obs_X, obs_pid, obs_img, obs_f = [], [], [], [], [], []
-        for pid, pt in self.rec.points3D.items():
+        for pid, pt in items:
             for (iid, f) in pt.track:
-                obs_pose.append(self._pose(iid))
+                obs_pose.append(pose_cache[iid])
                 obs_rays.append(self.cache.images[iid].rays[f])
                 obs_X.append(pt.xyz)
                 obs_pid.append(pid)
@@ -687,14 +737,12 @@ class IncrementalMapper:
             return 0
         n = len(obs_pid)
         cap = _bucket(n)
-        e, z = jax.tree.map(
-            np.asarray,
-            _reproj_errors(
-                jnp.asarray(self._pad(np.stack(obs_pose).astype(np.float32), cap)),
-                jnp.asarray(self._pad(np.stack(obs_rays).astype(np.float32), cap)),
-                jnp.asarray(self._pad(np.stack(obs_X).astype(np.float32), cap)),
-            ),
-        )
+        ez = np.asarray(_reproj_errors(
+            jnp.asarray(self._pad(np.stack(obs_pose).astype(np.float32), cap)),
+            jnp.asarray(self._pad(np.stack(obs_rays).astype(np.float32), cap)),
+            jnp.asarray(self._pad(np.stack(obs_X).astype(np.float32), cap)),
+        ))
+        e, z = ez[0], ez[1]
         focals = np.array([self._focal(iid) for iid in obs_img])
         bad = (e[:n] * focals > self.options.filter_max_reproj_error) | (z[:n] <= 0)
 
@@ -710,31 +758,62 @@ class IncrementalMapper:
                 self.rec.images[iid].point3D_ids[f] = -1
             num_filtered += 1
 
-        # drop short tracks and low-angle points (pure-numpy angle check)
+        # drop short tracks and low-angle points (pure-numpy angle check;
+        # projection centers computed host-side — a device round-trip per
+        # image costs ~65ms through the tunnel)
+        def np_center(pose):
+            w, x, y, z = pose[:4] / np.linalg.norm(pose[:4])
+            R = np.array([
+                [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+                [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+                [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+            ])
+            return -R.T @ pose[4:7]
+
         centers_cache: Dict[int, np.ndarray] = {
-            iid: np.asarray(rigid3.projection_center(jnp.asarray(self._pose(iid))))
-            for iid in self.registered
+            iid: np_center(pose_cache[iid]) for iid in self.registered
         }
 
-        def np_max_angle(centers: np.ndarray, X: np.ndarray) -> float:
-            base2 = np.sum((centers[:, None, :] - centers[None, :, :]) ** 2, axis=-1)
-            ray2 = np.sum((X[None, :] - centers) ** 2, axis=-1)
-            denom = 2.0 * np.sqrt(np.maximum(ray2[:, None] * ray2[None, :], 1e-24))
-            cosang = np.clip((ray2[:, None] + ray2[None, :] - base2) / denom, -1, 1)
-            ang = np.arccos(cosang)
-            ang = np.minimum(ang, np.pi - ang)
-            np.fill_diagonal(ang, 0.0)
-            return float(ang.max())
-
+        # vectorized max-pairwise-triangulation-angle test: points padded
+        # to a common track capacity, one numpy einsum batch
         to_delete = []
         min_angle = np.radians(self.options.filter_min_tri_angle_deg)
-        for pid, pt in self.rec.points3D.items():
+        live = []
+        for pid, pt in items:
+            if pid not in self.rec.points3D:
+                continue
             if len(pt.track) < self.options.min_track_len:
                 to_delete.append(pid)
-                continue
-            centers = np.stack([centers_cache[iid] for iid, _ in pt.track])
-            if np_max_angle(centers, pt.xyz.astype(np.float64)) < min_angle:
-                to_delete.append(pid)
+            else:
+                live.append((pid, pt))
+        if live:
+            T = max(len(pt.track) for _, pt in live)
+            npnt = len(live)
+            centers = np.zeros((npnt, T, 3))
+            cmask = np.zeros((npnt, T), bool)
+            X = np.zeros((npnt, 3))
+            for k, (pid, pt) in enumerate(live):
+                for j, (iid, _) in enumerate(pt.track):
+                    centers[k, j] = centers_cache[iid]
+                cmask[k, : len(pt.track)] = True
+                X[k] = pt.xyz
+            rays = X[:, None, :] - centers  # (N, T, 3)
+            ray2 = np.sum(rays * rays, -1)
+            base2 = np.sum((centers[:, :, None, :] - centers[:, None, :, :]) ** 2, -1)
+            denom = 2.0 * np.sqrt(np.maximum(
+                ray2[:, :, None] * ray2[:, None, :], 1e-24))
+            cosang = np.clip(
+                (ray2[:, :, None] + ray2[:, None, :] - base2) / denom, -1, 1)
+            ang = np.arccos(cosang)
+            ang = np.minimum(ang, np.pi - ang)
+            pair_ok = cmask[:, :, None] & cmask[:, None, :]
+            ang = np.where(pair_ok, ang, 0.0)
+            ii = np.arange(T)
+            ang[:, ii, ii] = 0.0
+            max_ang = ang.reshape(npnt, -1).max(1)
+            for k, (pid, pt) in enumerate(live):
+                if max_ang[k] < min_angle:
+                    to_delete.append(pid)
         for pid in to_delete:
             self.rec.delete_point3D(pid)
             num_filtered += 1
