@@ -302,13 +302,22 @@ def run_image_undistorter(argv):
     om, parser = _om_parser("image_undistorter")
     parser.add_argument("--input_path", required=True)
     parser.add_argument("--output_path", required=True)
+    parser.add_argument("--output_type", default="COLMAP",
+                        choices=["COLMAP", "PMVS", "CMP-MVS"])
     args = parser.parse_args(argv)
     om.parse_args(args)
     from colmap_tpu.image import undistortion as und
 
     rec = _read_model(args.input_path)
-    und.run_undistorter(rec, om.image_path, args.output_path,
-                        om.UndistortCamera)
+    if args.output_type == "PMVS":
+        und.run_pmvs_undistorter(rec, om.image_path, args.output_path,
+                                 om.UndistortCamera)
+    elif args.output_type == "CMP-MVS":
+        und.run_cmp_mvs_undistorter(rec, om.image_path, args.output_path,
+                                    om.UndistortCamera)
+    else:
+        und.run_undistorter(rec, om.image_path, args.output_path,
+                            om.UndistortCamera)
     return 0
 
 

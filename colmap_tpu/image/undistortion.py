@@ -167,3 +167,110 @@ def run_undistorter(rec: Reconstruction, image_dir: str, output_path: str,
     reconstruction_io.write_model(urec, os.path.join(output_path, "sparse"),
                                   ext=".bin")
     return urec
+
+
+def run_pmvs_undistorter(rec: Reconstruction, image_dir: str,
+                         output_path: str,
+                         options: UndistortCameraOptions = UndistortCameraOptions()):
+    """CMVS/PMVS workspace export (reference: PMVSUndistorter,
+    image/undistortion.h:94): pmvs/visualize/%08d.jpg undistorted images,
+    pmvs/txt/%08d.txt P-matrix files ("CONTOUR" header), vis.dat from the
+    covisibility of the sparse model, and a default option file."""
+    import numpy as np
+
+    from colmap_tpu.sensor import bitmap as bitmap_mod
+
+    base = os.path.join(output_path, "pmvs")
+    for sub in ("visualize", "txt", "models"):
+        os.makedirs(os.path.join(base, sub), exist_ok=True)
+
+    reg = [iid for iid in sorted(rec.images)
+           if rec.images[iid].registered]
+    idx_of = {iid: k for k, iid in enumerate(reg)}
+    ucams = {cid: undistort_camera(options, cam)
+             for cid, cam in rec.cameras.items()}
+
+    def quat_to_R(q):
+        w, x, y, z = q / np.linalg.norm(q)
+        return np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ])
+
+    for iid in reg:
+        img = rec.images[iid]
+        k = idx_of[iid]
+        bmp = bitmap_mod.read_bitmap(os.path.join(image_dir, img.name))
+        und, ucam = undistort_image(options, bmp.data,
+                                    rec.cameras[img.camera_id],
+                                    ucams[img.camera_id])
+        bitmap_mod.write_bitmap(
+            os.path.join(base, "visualize", f"{k:08d}.jpg"), und)
+        fx, fy, cx, cy = ucam.params[:4]
+        K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+        R = quat_to_R(img.cam_from_world[:4])
+        t = img.cam_from_world[4:7]
+        P = K @ np.concatenate([R, t[:, None]], axis=1)
+        with open(os.path.join(base, "txt", f"{k:08d}.txt"), "w") as fp:
+            fp.write("CONTOUR\n")
+            for row in P:
+                fp.write(f"{row[0]} {row[1]} {row[2]} {row[3]}\n")
+
+    # vis.dat: covisibility via shared 3D points
+    shared = {}
+    for pt in rec.points3D.values():
+        track = [idx_of[iid] for iid, _ in pt.track if iid in idx_of]
+        for a in track:
+            for b in track:
+                if a != b:
+                    shared.setdefault(a, set()).add(b)
+    with open(os.path.join(base, "vis.dat"), "w") as fp:
+        fp.write("VISDATA\n")
+        fp.write(f"{len(reg)}\n")
+        for k in range(len(reg)):
+            vis = sorted(shared.get(k, ()))
+            fp.write(f"{k} {len(vis)} " + " ".join(map(str, vis)) + "\n")
+
+    with open(os.path.join(base, "option-all"), "w") as fp:
+        fp.write("level 1\ncsize 2\nthreshold 0.7\nwsize 7\n"
+                 "minImageNum 3\nCPU 4\nsetEdge 0\nuseBound 0\n"
+                 "useVisData 1\nsequence -1\n"
+                 f"timages -1 0 {len(reg)}\noimages 0\n")
+
+
+def run_cmp_mvs_undistorter(rec: Reconstruction, image_dir: str,
+                            output_path: str,
+                            options: UndistortCameraOptions = UndistortCameraOptions()):
+    """CMP-MVS workspace export (reference: CMPMVSUndistorter):
+    %05d.jpg undistorted images + %05d_P.txt P matrices."""
+    import numpy as np
+
+    from colmap_tpu.sensor import bitmap as bitmap_mod
+
+    os.makedirs(output_path, exist_ok=True)
+    reg = [iid for iid in sorted(rec.images) if rec.images[iid].registered]
+    ucams = {cid: undistort_camera(options, cam)
+             for cid, cam in rec.cameras.items()}
+    for k, iid in enumerate(reg):
+        img = rec.images[iid]
+        bmp = bitmap_mod.read_bitmap(os.path.join(image_dir, img.name))
+        und, ucam = undistort_image(options, bmp.data,
+                                    rec.cameras[img.camera_id],
+                                    ucams[img.camera_id])
+        bitmap_mod.write_bitmap(os.path.join(output_path, f"{k + 1:05d}.jpg"),
+                                und)
+        fx, fy, cx, cy = ucam.params[:4]
+        K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+        q = img.cam_from_world[:4] / np.linalg.norm(img.cam_from_world[:4])
+        w, x, y, z = q
+        R = np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ])
+        P = K @ np.concatenate([R, img.cam_from_world[4:7][:, None]], axis=1)
+        with open(os.path.join(output_path, f"{k + 1:05d}_P.txt"), "w") as fp:
+            fp.write("CONTOUR\n")
+            for row in P:
+                fp.write(f"{row[0]} {row[1]} {row[2]} {row[3]}\n")

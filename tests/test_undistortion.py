@@ -91,3 +91,49 @@ def test_warp_with_homography_shift():
     out = np.asarray(warp_mod.warp_with_homography(
         jnp.asarray(img), jnp.asarray(H), (40, 50)))
     np.testing.assert_allclose(out[10:35, 8:45], img[5:30, 5:42], atol=1e-4)
+
+
+def test_pmvs_and_cmpmvs_export(tmp_path):
+    import os
+
+    from colmap_tpu.image.undistortion import (
+        UndistortCameraOptions, run_cmp_mvs_undistorter, run_pmvs_undistorter)
+    from colmap_tpu.scene import synthetic_images as synth
+    from colmap_tpu.scene.reconstruction import Camera, Image, Reconstruction
+    from colmap_tpu.geometry import rotation as rot
+    import jax.numpy as jnp
+
+    opts = synth.RoomDatasetOptions(num_images=3, width=160, height=120,
+                                    focal=140.0, seed=1)
+    images, K, Rs, ts = synth.render_room_dataset(opts)
+    img_dir = str(tmp_path / "imgs")
+    names = synth.write_dataset(img_dir, images)
+    rec = Reconstruction()
+    rec.add_camera(Camera(camera_id=1, model_id=1, width=160, height=120,
+                          params=np.array([K[0, 0], K[1, 1], K[0, 2], K[1, 2]])))
+    for i, name in enumerate(names):
+        q = np.asarray(rot.rotmat_to_quat(jnp.asarray(Rs[i], np.float32)))
+        img = Image(image_id=i + 1, name=name, camera_id=1)
+        img.cam_from_world = np.concatenate([q, ts[i]]).astype(np.float64)
+        img.xys = np.zeros((4, 2))
+        img.point3D_ids = np.full(4, -1, np.int64)
+        rec.add_image(img)
+    # a couple of shared points for vis.dat
+    rec.add_point3D([0, 0, 4.0], [(1, 0), (2, 0), (3, 0)])
+    rec.add_point3D([1, 0, 4.0], [(1, 1), (2, 1)])
+
+    out = str(tmp_path / "pmvs_ws")
+    run_pmvs_undistorter(rec, img_dir, out, UndistortCameraOptions())
+    assert os.path.exists(os.path.join(out, "pmvs", "visualize", "00000000.jpg"))
+    ptxt = open(os.path.join(out, "pmvs", "txt", "00000000.txt")).read()
+    assert ptxt.startswith("CONTOUR")
+    assert len(ptxt.strip().splitlines()) == 4
+    vis = open(os.path.join(out, "pmvs", "vis.dat")).read().splitlines()
+    assert vis[0] == "VISDATA" and int(vis[1]) == 3
+    # image 0 covisible with 1 and 2
+    assert vis[2].split()[:2] == ["0", "2"]
+
+    out2 = str(tmp_path / "cmp_ws")
+    run_cmp_mvs_undistorter(rec, img_dir, out2, UndistortCameraOptions())
+    assert os.path.exists(os.path.join(out2, "00001.jpg"))
+    assert open(os.path.join(out2, "00001_P.txt")).read().startswith("CONTOUR")
