@@ -58,6 +58,12 @@ class SiftExtractionOptions:
     edge_threshold: float = 10.0
     max_num_orientations: int = 2
     normalization: str = "L1_ROOT"  # or "L2"
+    # affine-shape adaptation (covariant SIFT): per-keypoint second-moment
+    # iteration normalizes anisotropic neighborhoods
+    # (reference: sift.h estimate_affine_shape / VLFeat covdet affine
+    # adaptation, thirdparty/VLFeat/covdet.c)
+    estimate_affine_shape: bool = False
+    affine_shape_iterations: int = 3
     # domain-size pooling (DSP-SIFT): average the descriptor over a range of
     # window scales (reference: sift.h:90-93 / CovariantSiftCPUFeatureExtractor)
     domain_size_pooling: bool = False
@@ -307,6 +313,67 @@ def _nearest_vol2(grad_flat: jax.Array, h: int, w: int, base: jax.Array,
 
 
 # --------------------------------------------------------------------------
+# Affine shape adaptation (bulk)
+# --------------------------------------------------------------------------
+
+_SHAPE_GRID = 12
+
+
+def _sqrtm_inv_2x2_sym(a, b, d):
+    """Inverse square root of symmetric 2x2 [[a, b], [b, d]] (bulk),
+    det-normalized so the adapted shape preserves area."""
+    tr = a + d
+    det = jnp.maximum(a * d - b * b, 1e-12)
+    s = jnp.sqrt(det)
+    t = jnp.sqrt(jnp.maximum(tr + 2.0 * s, 1e-12))
+    # sqrt(M) = (M + s I) / t ; inv via 2x2 adjugate
+    m00 = (a + s) / t
+    m01 = b / t
+    m11 = (d + s) / t
+    idet = 1.0 / jnp.maximum(m00 * m11 - m01 * m01, 1e-12)
+    i00 = m11 * idet
+    i01 = -m01 * idet
+    i11 = m00 * idet
+    # normalize to unit determinant
+    nd = jnp.sqrt(jnp.maximum(i00 * i11 - i01 * i01, 1e-12))
+    return i00 / nd, i01 / nd, i11 / nd
+
+
+def _affine_shapes_bulk(grad_flat, h, w, base, fy, fx, sigma,
+                        num_iters: int):
+    """Per-keypoint affine shape A [K, 2, 2] (unit determinant) via
+    second-moment-matrix iteration (VLFeat covdet affine adaptation)."""
+    g = _SHAPE_GRID
+    lin = (np.arange(g, dtype=np.float32) + 0.5) / g * 2.0 - 1.0
+    uy, ux = np.meshgrid(lin, lin, indexing="ij")
+    unit = jnp.asarray(np.stack([ux.reshape(-1), uy.reshape(-1)]))  # [2, P]
+    r2u = jnp.asarray((ux.reshape(-1) ** 2 + uy.reshape(-1) ** 2))
+    win = jnp.exp(-r2u / (2.0 * 0.5 ** 2))  # gaussian over the unit disc
+
+    k = fy.shape[0]
+    A = jnp.broadcast_to(jnp.eye(2, dtype=_F32), (k, 2, 2))
+    wrad = 3.0 * sigma  # [K]
+
+    for _ in range(num_iters):
+        # sample offsets = wrad * A @ unit
+        off = jnp.einsum("kij,jp->kip", A, unit) * wrad[:, None, None]
+        ys = fy[:, None] + off[:, 1, :]
+        xs = fx[:, None] + off[:, 0, :]
+        sgx, sgy = _nearest_vol2(grad_flat, h, w, base, ys, xs)
+        # gradients transform with A^T under the warp
+        wxx = jnp.sum(win[None] * sgx * sgx, axis=1)
+        wxy = jnp.sum(win[None] * sgx * sgy, axis=1)
+        wyy = jnp.sum(win[None] * sgy * sgy, axis=1)
+        tr = wxx + wyy
+        norm = jnp.maximum(tr, 1e-12)
+        i00, i01, i11 = _sqrtm_inv_2x2_sym(wxx / norm, wxy / norm, wyy / norm)
+        Mi = jnp.stack([jnp.stack([i00, i01], -1),
+                        jnp.stack([i01, i11], -1)], -2)  # [K, 2, 2]
+        A = jnp.einsum("kij,kjl->kil", A, Mi)
+    return A
+
+
+# --------------------------------------------------------------------------
 # Orientation histograms (bulk)
 # --------------------------------------------------------------------------
 
@@ -314,7 +381,8 @@ _NUM_ORI_BINS = 36
 _ORI_GRID = 16  # fixed sample grid (SiftGPU-style sampling vs VLFeat pixel loop)
 
 
-def _orientations_bulk(grad_flat, h, w, base, fy, fx, sigma, max_num: int):
+def _orientations_bulk(grad_flat, h, w, base, fy, fx, sigma, max_num: int,
+                       shape_A=None):
     """Dominant orientations for all keypoints at once.
 
     fy, fx, sigma: [K]. Returns theta [K, max_num], valid [K, max_num].
@@ -331,8 +399,15 @@ def _orientations_bulk(grad_flat, h, w, base, fy, fx, sigma, max_num: int):
 
     wsig = 1.5 * sigma  # [K]
     wrad = 3.0 * wsig
-    ys = fy[:, None] + unit[0][None, :] * wrad[:, None]  # [K, P]
-    xs = fx[:, None] + unit[1][None, :] * wrad[:, None]
+    if shape_A is None:
+        dy = unit[0][None, :] * wrad[:, None]
+        dx = unit[1][None, :] * wrad[:, None]
+    else:
+        uv = jnp.stack([unit[1], unit[0]])  # (x, y) rows
+        off = jnp.einsum("kij,jp->kip", shape_A, uv) * wrad[:, None, None]
+        dx, dy = off[:, 0, :], off[:, 1, :]
+    ys = fy[:, None] + dy  # [K, P]
+    xs = fx[:, None] + dx
     sgx, sgy = _nearest_vol2(grad_flat, h, w, base, ys, xs)
     mag = jnp.sqrt(sgx * sgx + sgy * sgy)
     ang = jnp.arctan2(sgy, sgx)  # [-pi, pi]
@@ -377,7 +452,8 @@ _DESC_GRID = 16  # sample grid per axis
 _MAGNIF = 3.0
 
 
-def _descriptors_bulk(grad_flat, h, w, base, fy, fx, sigma, theta):
+def _descriptors_bulk(grad_flat, h, w, base, fy, fx, sigma, theta,
+                      shape_A=None):
     """128-D SIFT descriptors for all oriented keypoints at once ([K] inputs).
 
     Reference semantics: VLFeat vl_sift_calc_keypoint_descriptor — 4x4x8
@@ -396,6 +472,11 @@ def _descriptors_bulk(grad_flat, h, w, base, fy, fx, sigma, theta):
     ct, st = jnp.cos(theta), jnp.sin(theta)
     ox = sbp[:, None] * (ct[:, None] * u[None, :] - st[:, None] * v[None, :])
     oy = sbp[:, None] * (st[:, None] * u[None, :] + ct[:, None] * v[None, :])
+    if shape_A is not None:
+        # affine-normalized sampling: offsets warped by the keypoint shape
+        off = jnp.stack([ox, oy], axis=1)  # [K, 2, P]
+        off = jnp.einsum("kij,kjp->kip", shape_A, off)
+        ox, oy = off[:, 0, :], off[:, 1, :]
     ys = fy[:, None] + oy
     xs = fx[:, None] + ox
     sgx, sgy = _bilinear_vol2(grad_flat, h, w, base, ys, xs)
@@ -477,9 +558,15 @@ def _extract_octave(gauss: jax.Array, octave_scale: float, opts: SiftExtractionO
     lvl = jnp.clip(jnp.round(fs).astype(jnp.int32), 0, S + 2)
     lvl_base = lvl * (h * w)
 
+    shape_A = None
+    if opts.estimate_affine_shape:
+        shape_A = _affine_shapes_bulk(grad_flat, h, w, lvl_base, fy, fx,
+                                      sigma_oct, opts.affine_shape_iterations)
+
     max_ori = opts.max_num_orientations
     theta, tvalid = _orientations_bulk(grad_flat, h, w, lvl_base,
-                                       fy, fx, sigma_oct, max_ori)
+                                       fy, fx, sigma_oct, max_ori,
+                                       shape_A=shape_A)
 
     # flatten orientations into the keypoint axis
     k = fs.shape[0]
@@ -491,6 +578,10 @@ def _extract_octave(gauss: jax.Array, octave_scale: float, opts: SiftExtractionO
     kp_base = rep(lvl_base)
     kp_theta = theta.reshape(n)
     kp_valid = (tvalid & ok[:, None]).reshape(n)
+    kp_shape = None
+    if shape_A is not None:
+        kp_shape = jnp.broadcast_to(shape_A[:, None], (k, max_ori, 2, 2)
+                                    ).reshape(n, 2, 2)
 
     if opts.domain_size_pooling:
         # DSP-SIFT: pool descriptors over window scales (each scale reuses
@@ -501,11 +592,12 @@ def _extract_octave(gauss: jax.Array, octave_scale: float, opts: SiftExtractionO
         for s_fac in scales:
             kp_desc = kp_desc + _descriptors_bulk(
                 grad_flat, h, w, kp_base, kp_fy, kp_fx,
-                kp_sigma * float(s_fac), kp_theta)
+                kp_sigma * float(s_fac), kp_theta, shape_A=kp_shape)
         kp_desc = kp_desc / len(scales)
     else:
         kp_desc = _descriptors_bulk(grad_flat, h, w, kp_base,
-                                    kp_fy, kp_fx, kp_sigma, kp_theta)
+                                    kp_fy, kp_fx, kp_sigma, kp_theta,
+                                    shape_A=kp_shape)
 
     kp_x = kp_fx * octave_scale + coord_offset
     kp_y = kp_fy * octave_scale + coord_offset

@@ -78,3 +78,42 @@ def test_guided_matching_recovers_more_inliers(rng):
     if len(guided):
         ok = np.abs(xy1[guided[:, 0], 1] - xy2[guided[:, 1], 1]) < 2.5
         assert ok.mean() > 0.95
+
+
+def test_affine_shape_improves_shear_robustness():
+    """Covariant (affine-adapted) SIFT under a strong shear warp."""
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(4)
+    img = _textured(rng)
+    h, w = img.shape
+    # shear + anisotropic scale
+    M = np.array([[0.95, 0.35, 10.0], [0.05, 0.75, 8.0]], np.float32)
+    img2 = cv2.warpAffine(img, M, (w, h))
+
+    import dataclasses
+
+    base_opts = sift.SiftExtractionOptions(octave_capacity=512,
+                                           max_num_features=1024)
+    aff_opts = dataclasses.replace(base_opts, estimate_affine_shape=True)
+
+    def count_correct(opts):
+        f1 = sift.extract(img, opts)
+        f2 = sift.extract(img2, opts)
+        if len(f1["xy"]) == 0 or len(f2["xy"]) == 0:
+            return 0
+        b1 = matching_mod.prepare_descriptors(f1["descriptors"])
+        b2 = matching_mod.prepare_descriptors(f2["descriptors"])
+        m = matching_mod.matches_to_pairs(
+            np.asarray(matching_mod.match_descriptors(b1, b2)))
+        if len(m) == 0:
+            return 0
+        gt = np.c_[f1["xy"][m[:, 0]], np.ones(len(m))] @ M.T
+        err = np.hypot(*(f2["xy"][m[:, 1]] - gt).T)
+        return int((err < 3.0).sum())
+
+    n_base = count_correct(base_opts)
+    n_aff = count_correct(aff_opts)
+    # the affine-adapted variant must find a solid number of correct
+    # matches under shear, and not be much worse than plain SIFT
+    assert n_aff > 25, (n_aff, n_base)
+    assert n_aff >= 0.7 * n_base, (n_aff, n_base)
