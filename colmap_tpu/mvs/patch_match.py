@@ -16,13 +16,14 @@ TPU re-design — NOT a sweep translation:
   Gipuma/ACMH) converges comparably and keeps the whole image resident as
   dense arrays.
 - The plane-induced warp is evaluated in closed form per pixel and window
-  offset: H_p q = A q - (K2 t) ((K1^-T n_p) . q) / (n_p . X_p) with
-  A = K2 R K1^-1 — so a candidate's photometric cost for ALL pixels and ALL
-  window samples is one fused elementwise program + one bilinear gather
-  ([H, W, P] coordinates), vmapped over sources.
-- Control flow is compiler-friendly: `lax.scan` over the candidate set
-  (bounding peak memory to one [S, H, W, P] patch block), `lax.fori_loop`
-  over iterations — the whole solver is a single compiled program.
+  offset: H_p q = A q + (K2 t) ((K1^-T n_p) . q) / (n_p . X_p) with
+  A = K2 R K1^-1 — a candidate's photometric cost is fused elementwise math
+  + bilinear gathers, with NCC built from six running weighted sums
+  accumulated over window-offset chunks (peak memory [H, W, CHUNK], not
+  [H, W, P] x many) and lax.map over sources.
+- Control flow is compiler-friendly: `lax.scan` over the candidate set,
+  `lax.fori_loop` over iterations — the whole solver is one compiled
+  program.
 - Bilateral-weighted NCC, aggregated over sources by trimmed mean
   (replacing the reference's sequential MC sampling state machine).
 - Optional geometric-consistency term: forward-backward reprojection error
@@ -144,10 +145,27 @@ def _precompute(problem: PatchMatchProblem, opts: PatchMatchOptions) -> _Precomp
 
 def _cost_fn(problem: PatchMatchProblem, pre: _Precomp,
              opts: PatchMatchOptions):
-    """Returns cost(depth, normal) -> [H, W] (jit-traceable closure)."""
+    """Returns cost(depth, normal) -> [H, W] (jit-traceable closure).
+
+    Memory discipline: NCC is built from six RUNNING WEIGHTED SUMS
+    accumulated by a lax.scan over window-offset CHUNKS, so peak
+    intermediates are [H, W, CHUNK] instead of [H, W, P] x many; sources
+    are processed with lax.map (sequential) rather than vmap. At 640x480
+    with 8 sources and a 7x7 window the old all-at-once formulation
+    materialized ~4 GB and crashed the device.
+    """
 
     h, w = problem.ref_image.shape
     P = pre.offs.shape[0]
+    CHUNK = 8
+    n_chunks = -(-P // CHUNK)
+    pad = n_chunks * CHUNK - P
+    offs_p = jnp.pad(pre.offs, ((0, pad), (0, 0)))
+    offs_c = offs_p.reshape(n_chunks, CHUNK, 2)
+    rp_p = jnp.pad(pre.ref_patch, ((0, 0), (0, 0), (0, pad)))
+    rp_c = jnp.moveaxis(rp_p.reshape(h, w, n_chunks, CHUNK), 2, 0)
+    bw_p = jnp.pad(pre.bil_w, ((0, 0), (0, 0), (0, pad)))
+    bw_c = jnp.moveaxis(bw_p.reshape(h, w, n_chunks, CHUNK), 2, 0)
 
     def per_src(src_img, K_s, R_s, t_s, src_depth, depth, normal, X,
                 ndotX, m):
@@ -158,32 +176,44 @@ def _cost_fn(problem: PatchMatchProblem, pre: _Precomp,
         Ap = (A[None, None, :, 0] * px[..., None]
               + A[None, None, :, 1] * py[..., None] + A[None, None, :, 2])
         mq0 = m[..., 0] * px + m[..., 1] * py + m[..., 2]  # [H, W]
-        # all window samples at once: [H, W, P, 3]
-        Aq = (Ap[..., None, :]
-              + pre.offs[None, None, :, 1, None] * A[None, None, None, :, 0]
-              + pre.offs[None, None, :, 0, None] * A[None, None, None, :, 1])
-        mq = (mq0[..., None] + pre.offs[None, None, :, 1] * m[..., 0:1]
-              + pre.offs[None, None, :, 0] * m[..., 1:2])  # [H, W, P]
-        # plane {X : n.X = ndotX}; ray X = l K1inv q  =>  l = ndotX / (m.q)
-        # x_src ~ K2 (R X + t) = (A + b m^T / ndotX) q
-        Hq = Aq + b[None, None, None, :] * (mq / ndotX[..., None])[..., None]
-        z = jnp.where(jnp.abs(Hq[..., 2]) < 1e-9, 1e-9, Hq[..., 2])
-        sx = Hq[..., 0] / z
-        sy = Hq[..., 1] / z
-        v, inb = _bilinear(src_img, sy, sx)  # [H, W, P]
-        valid = (inb & (z > 0)).astype(_F32)
+        inv_ndotX = 1.0 / ndotX
 
-        wgt = pre.bil_w * valid
-        sw = jnp.maximum(jnp.sum(wgt, -1), 1e-6)
-        rp = pre.ref_patch
-        mu_r = jnp.sum(wgt * rp, -1) / sw
-        mu_s = jnp.sum(wgt * v, -1) / sw
-        var_r = jnp.sum(wgt * rp * rp, -1) / sw - mu_r * mu_r
-        var_s = jnp.sum(wgt * v * v, -1) / sw - mu_s * mu_s
-        cov = jnp.sum(wgt * rp * v, -1) / sw - mu_r * mu_s
+        def chunk_body(carry, inputs):
+            sw, s_r, s_v, s_rr, s_vv, s_rv, s_n = carry
+            offs_k, rp_k, bw_k = inputs  # [C,2], [H,W,C], [H,W,C]
+            # [H, W, C, 3] only for this chunk
+            Aq = (Ap[..., None, :]
+                  + offs_k[None, None, :, 1, None] * A[None, None, None, :, 0]
+                  + offs_k[None, None, :, 0, None] * A[None, None, None, :, 1])
+            mq = (mq0[..., None] + offs_k[None, None, :, 1] * m[..., 0:1]
+                  + offs_k[None, None, :, 0] * m[..., 1:2])
+            Hq = Aq + b[None, None, None, :] * (mq * inv_ndotX[..., None])[..., None]
+            z = jnp.where(jnp.abs(Hq[..., 2]) < 1e-9, 1e-9, Hq[..., 2])
+            sx = Hq[..., 0] / z
+            sy = Hq[..., 1] / z
+            v, inb = _bilinear(src_img, sy, sx)
+            valid = (inb & (z > 0)).astype(_F32)
+            wgt = bw_k * valid
+            return (sw + jnp.sum(wgt, -1),
+                    s_r + jnp.sum(wgt * rp_k, -1),
+                    s_v + jnp.sum(wgt * v, -1),
+                    s_rr + jnp.sum(wgt * rp_k * rp_k, -1),
+                    s_vv + jnp.sum(wgt * v * v, -1),
+                    s_rv + jnp.sum(wgt * rp_k * v, -1),
+                    s_n + jnp.sum(valid, -1)), None
+
+        zero = jnp.zeros((h, w), _F32)
+        (sw, s_r, s_v, s_rr, s_vv, s_rv, s_n), _ = jax.lax.scan(
+            chunk_body, (zero,) * 7, (offs_c, rp_c, bw_c))
+        sw = jnp.maximum(sw, 1e-6)
+        mu_r = s_r / sw
+        mu_s = s_v / sw
+        var_r = s_rr / sw - mu_r * mu_r
+        var_s = s_vv / sw - mu_s * mu_s
+        cov = s_rv / sw - mu_r * mu_s
         ncc = cov * jax.lax.rsqrt(jnp.maximum(var_r * var_s, 1e-10))
         cost = jnp.clip(1.0 - ncc, 0.0, 2.0)
-        frac = jnp.sum(valid, -1) / P
+        frac = s_n / P
         cost = jnp.where((frac > 0.5) & (var_r > 1e-8), cost, 2.0)
 
         if opts.geom_consistency and problem.src_depths is not None:
@@ -199,11 +229,11 @@ def _cost_fn(problem: PatchMatchProblem, pre: _Precomp,
         src_depths = problem.src_depths
         if src_depths is None:
             src_depths = jnp.zeros_like(problem.src_images)
-        costs = jax.vmap(
-            lambda si, ks, rs, ts_, sd: per_src(si, ks, rs, ts_, sd,
-                                                depth, normal, X, ndotX, m)
-        )(problem.src_images, problem.K_src, problem.R_rel, problem.t_rel,
-          src_depths)  # [S, H, W]
+        costs = jax.lax.map(
+            lambda args: per_src(args[0], args[1], args[2], args[3], args[4],
+                                 depth, normal, X, ndotX, m),
+            (problem.src_images, problem.K_src, problem.R_rel,
+             problem.t_rel, src_depths))  # [S, H, W]
         k = min(opts.top_k, costs.shape[0])
         topk = -jax.lax.top_k(-jnp.moveaxis(costs, 0, -1), k)[0]
         return jnp.mean(topk, axis=-1)
