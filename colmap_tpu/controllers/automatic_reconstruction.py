@@ -106,6 +106,15 @@ def run_automatic_reconstruction(
 
     if options.dense and rec is not None:
         logger.info("=== dense reconstruction ===")
+        # drop sparse-stage compiled programs + their device buffers before
+        # the memory-heavy dense stage (long-lived workers otherwise
+        # accumulate executables across the pipeline)
+        import gc
+
+        import jax as _jax
+
+        _jax.clear_caches()
+        gc.collect()
         from colmap_tpu.controllers import dense_reconstruction as dense
         from colmap_tpu.image import undistortion as und
         from colmap_tpu.mvs import fusion as fusion_mod

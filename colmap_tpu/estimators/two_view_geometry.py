@@ -254,3 +254,45 @@ def _normalized_H(H_pix, mean_focal):
     K = jnp.diag(jnp.stack([f, f, one]))
     Kinv = jnp.diag(jnp.stack([1.0 / f, 1.0 / f, one]))
     return Kinv @ H_pix @ K
+
+
+def estimate_multiple_two_view_geometries(
+    key: jax.Array,
+    rays1: jax.Array, rays2: jax.Array,
+    pix1: jax.Array, pix2: jax.Array,
+    valid: jax.Array,
+    mean_focal: jax.Array,
+    options: TwoViewGeometryOptions,
+    max_models: int = 4,
+):
+    """Multi-model estimation (reference: EstimateMultipleTwoViewGeometries,
+    two_view_geometry.cc:235): repeatedly estimate a geometry, remove its
+    inliers, and recurse until too few matches remain. Returns a list of
+    TwoViewGeometry (numpy) and a combined config (MULTIPLE when >1 model).
+
+    Host loop over the jitted single-model estimator — each round is one
+    fused device program; the match capacity stays static.
+    """
+    import numpy as np
+
+    geometries = []
+    cur_valid = np.asarray(valid).copy()
+    for _ in range(max_models):
+        if cur_valid.sum() < options.min_num_inliers:
+            break
+        key, sub = jax.random.split(key)
+        g = estimate_two_view_geometry(
+            sub, rays1, rays2, pix1, pix2, jnp.asarray(cur_valid),
+            mean_focal, options)
+        g = jax.tree.map(np.asarray, g)
+        if int(g.num_inliers) < options.min_num_inliers:
+            break
+        if int(g.config) in (int(TwoViewConfig.DEGENERATE),
+                             int(TwoViewConfig.UNDEFINED)):
+            break
+        geometries.append(g)
+        cur_valid &= ~np.asarray(g.inlier_mask)
+    combined = (int(TwoViewConfig.MULTIPLE) if len(geometries) > 1
+                else (int(geometries[0].config) if geometries
+                      else int(TwoViewConfig.DEGENERATE)))
+    return geometries, combined

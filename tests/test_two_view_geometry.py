@@ -128,3 +128,42 @@ def test_watermark_detection(rng):
         sizes1=jnp.asarray([w, h], jnp.float32),
         sizes2=jnp.asarray([w, h], jnp.float32))
     assert int(g2.config) != int(tvg.TwoViewConfig.WATERMARK)
+
+
+def test_multiple_two_view_geometries(rng):
+    """Two independently moving planes -> MULTIPLE config with two models."""
+    import jax
+    import jax.numpy as jnp
+
+    from colmap_tpu.estimators import two_view_geometry as tvg
+
+    f, w, h = 500.0, 640.0, 480.0
+    n_per = 100
+    # plane A: static homography (pure rotation-ish shift)
+    xyA1 = rng.uniform(50, 250, (n_per, 2)).astype(np.float32)
+    xyA2 = xyA1 + np.array([40.0, -25.0], np.float32)
+    # plane B: clearly different motion (15 deg rotation + 1.2x scale)
+    ang = np.radians(15.0)
+    RB = 1.2 * np.array([[np.cos(ang), -np.sin(ang)],
+                         [np.sin(ang), np.cos(ang)]], np.float32)
+    xyB1 = rng.uniform(350, 600, (n_per, 2)).astype(np.float32)
+    xyB2 = (xyB1 - [450, 240]) @ RB.T + [430, 255]
+    pix1 = np.concatenate([xyA1, xyB1])
+    pix2 = np.concatenate([xyA2, xyB2])
+    rays1 = (pix1 - [w / 2, h / 2]) / f
+    rays2 = (pix2 - [w / 2, h / 2]) / f
+    opts = tvg.TwoViewGeometryOptions(min_num_inliers=30, max_error_px=2.0,
+                                      detect_watermark=False)
+    geoms, config = tvg.estimate_multiple_two_view_geometries(
+        jax.random.PRNGKey(0), jnp.asarray(rays1), jnp.asarray(rays2),
+        jnp.asarray(pix1), jnp.asarray(pix2), jnp.ones(2 * n_per, bool),
+        jnp.asarray(f, jnp.float32), opts)
+    assert config == int(tvg.TwoViewConfig.MULTIPLE)
+    assert len(geoms) >= 2
+    # models capture disjoint inlier sets with meaningful support (an F can
+    # partially explain both planar motions, so the split is not pure)
+    m0 = np.asarray(geoms[0].inlier_mask)
+    m1 = np.asarray(geoms[1].inlier_mask)
+    assert not np.any(m0 & m1)
+    assert int(geoms[0].num_inliers) >= 50
+    assert int(geoms[1].num_inliers) >= 30
