@@ -46,7 +46,11 @@ class PatchMatchStereoOptions:
     max_image_size: int = -1
 
 
-def _load_workspace(workspace_path: str):
+def _load_workspace(workspace_path: str, max_image_size: int = -1):
+    """Load the undistorted model + images; optionally downscale to
+    max_image_size (reference: Workspace options max_image_size,
+    mvs/workspace.h — stereo runs at the reduced resolution, with the
+    calibration scaled to match)."""
     from colmap_tpu.scene import reconstruction_io
     from colmap_tpu.sensor import bitmap as bitmap_mod
 
@@ -55,7 +59,21 @@ def _load_workspace(workspace_path: str):
     images = {}
     for iid, im in model.images.items():
         path = os.path.join(workspace_path, "images", im.name)
-        images[iid] = bitmap_mod.read_bitmap(path).data
+        data = bitmap_mod.read_bitmap(path).data
+        if max_image_size > 0 and max(data.shape[:2]) > max_image_size:
+            from PIL import Image as PILImage
+
+            s = max_image_size / max(data.shape[:2])
+            nh = max(int(round(data.shape[0] * s)), 1)
+            nw = max(int(round(data.shape[1] * s)), 1)
+            data = np.asarray(PILImage.fromarray(
+                (data * 255).astype(np.uint8)).resize(
+                    (nw, nh), PILImage.BILINEAR), np.float32) / 255.0
+            # continuous pixel coords scale exactly: K' = diag(sx, sy, 1) K
+            sy, sx = nh / im.height, nw / im.width
+            im.K = np.diag([sx, sy, 1.0]) @ im.K
+            im.width, im.height = nw, nh
+        images[iid] = data
     return rec, model, images
 
 
@@ -67,7 +85,8 @@ def run_patch_match_stereo(workspace_path: str,
                            options: PatchMatchStereoOptions = PatchMatchStereoOptions(),
                            seed: int = 0) -> Dict[int, np.ndarray]:
     """Compute photometric (+ geometric) depth/normal maps for all images."""
-    rec, model, images = _load_workspace(workspace_path)
+    rec, model, images = _load_workspace(workspace_path,
+                                         options.max_image_size)
     key = jax.random.PRNGKey(seed)
 
     def solve_all(geom: bool, prior: Dict[int, np.ndarray]):
@@ -96,8 +115,8 @@ def run_patch_match_stereo(workspace_path: str,
                                   jnp.float32),
                 R_rel=jnp.asarray(R_rel, jnp.float32),
                 t_rel=jnp.asarray(t_rel, jnp.float32),
-                depth_min=jnp.asarray(dmin * 0.8, jnp.float32),
-                depth_max=jnp.asarray(dmax * 1.2, jnp.float32),
+                depth_min=jnp.asarray(dmin, jnp.float32),
+                depth_max=jnp.asarray(dmax, jnp.float32),
                 src_depths=src_depths,
             )
             po = dataclasses.replace(options.patch_match,
@@ -131,9 +150,13 @@ def run_patch_match_stereo(workspace_path: str,
 def run_stereo_fusion(workspace_path: str,
                       options: fusion_mod.StereoFusionOptions = fusion_mod.StereoFusionOptions(),
                       input_type: str = "geometric",
-                      output_path: Optional[str] = None) -> Dict[str, np.ndarray]:
-    """Fuse depth/normal maps into fused.ply (reference: RunStereoFuser)."""
-    rec, model, images = _load_workspace(workspace_path)
+                      output_path: Optional[str] = None,
+                      max_image_size: int = -1) -> Dict[str, np.ndarray]:
+    """Fuse depth/normal maps into fused.ply (reference: RunStereoFuser).
+
+    max_image_size must match the stereo run so the scaled calibration
+    lines up with the stored depth-map resolution."""
+    rec, model, images = _load_workspace(workspace_path, max_image_size)
     depths, normals = {}, {}
     for iid, im in model.images.items():
         p = _suffix_path(workspace_path, "depth_maps", im.name, input_type)

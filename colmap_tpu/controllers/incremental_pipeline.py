@@ -232,6 +232,9 @@ class IncrementalPipeline:
             if cid in mapper.rec.cameras:
                 mapper.rec.cameras[cid].params = np.asarray(cam.params,
                                                             np.float64)
+        # the input model may carry refined intrinsics: drop focal/ray caches
+        # so all geometry uses the current params, not the DB ones
+        mapper.invalidate_focal_cache()
         for pid, pt in model.points3D.items():
             track = [(iid, p2d) for (iid, p2d) in pt.track
                      if iid in mapper.rec.images

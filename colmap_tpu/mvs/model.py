@@ -42,8 +42,20 @@ class MVSModel:
 
     def src_images(self, ref_id: int, max_num: int = 20) -> List[int]:
         """Best source images by shared-point score (reference:
-        PatchMatchController src selection '__auto__', patch_match.cc)."""
-        return [i for i, _ in self.overlap_scores.get(ref_id, [])[:max_num]]
+        PatchMatchController src selection '__auto__', patch_match.cc).
+
+        Images with no shared sparse points (late registrations) fall back
+        to the nearest cameras by projection center, so every reference
+        image still gets stereo sources.
+        """
+        srcs = [i for i, _ in self.overlap_scores.get(ref_id, [])[:max_num]]
+        if srcs or ref_id not in self.images:
+            return srcs
+        c = self.images[ref_id].center()
+        others = sorted(
+            (iid for iid in self.images if iid != ref_id),
+            key=lambda iid: float(np.linalg.norm(self.images[iid].center() - c)))
+        return others[:max_num]
 
 
 def _quat_to_rotmat(q: np.ndarray) -> np.ndarray:
@@ -101,15 +113,27 @@ def build_model(rec: Reconstruction, max_triangulation_angle_deg: float = 90.0
                 key = (min(a, b), max(a, b))
                 shared.setdefault(key, []).append(ang)
 
+    # reference: Model::ComputeDepthRanges (model.cc:174-215) —
+    # 1st/99th percentiles stretched by kStretchRatio = 0.25
     depth_ranges = {}
     for iid, ds in depths.items():
         if not ds:
-            depth_ranges[iid] = (0.1, 100.0)
             continue
         arr = np.asarray(ds)
-        lo = float(np.percentile(arr, 1)) * 0.8
-        hi = float(np.percentile(arr, 99)) * 1.2
+        lo = float(np.percentile(arr, 1)) * 0.75
+        hi = float(np.percentile(arr, 99)) * 1.25
         depth_ranges[iid] = (max(lo, 1e-4), hi)
+    # images with no visible sparse points (late registrations, sparse
+    # scenes): fall back to the union of all per-image ranges so PatchMatch
+    # still searches a plausible band instead of a meaningless default
+    if depth_ranges:
+        glo = min(r[0] for r in depth_ranges.values())
+        ghi = max(r[1] for r in depth_ranges.values())
+    else:
+        glo, ghi = 0.1, 100.0
+    for iid in depths:
+        if iid not in depth_ranges:
+            depth_ranges[iid] = (glo, ghi)
 
     # overlap score: count of shared points with a usable tri angle,
     # weighted to prefer ~10 deg baselines (reference scoring spirit)

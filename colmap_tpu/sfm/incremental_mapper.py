@@ -165,7 +165,11 @@ class IncrementalMapper:
         self.options = options
         self.rec = Reconstruction()
         for cam in cache.cameras.values():
-            self.rec.add_camera(cam)
+            # deep-copy: BA refines rec camera params in place; the cache
+            # (and its precomputed rays) must stay pristine so it can back
+            # other sub-models
+            self.rec.add_camera(dataclasses.replace(
+                cam, params=np.array(cam.params, np.float64, copy=True)))
         for im in cache.images.values():
             self.rec.add_image(
                 RecImage(
@@ -179,6 +183,13 @@ class IncrementalMapper:
             )
         self.registered: List[int] = []
         self._focal_cache: Dict[int, float] = {}
+        # normalized rays under the CURRENT rec intrinsics; empty entries
+        # fall through to the DB-cache rays (valid until intrinsics refine)
+        self._rays_cache: Dict[int, np.ndarray] = {}
+        self._db_cam_params: Dict[int, np.ndarray] = {
+            cid: np.array(c.params, np.float64, copy=True)
+            for cid, c in cache.cameras.items()
+        }
         self.num_reg_trials: Dict[int, int] = {}
         self._rng = np.random.default_rng(seed)
         self._key = jax.random.PRNGKey(seed)
@@ -199,6 +210,46 @@ class IncrementalMapper:
 
     def invalidate_focal_cache(self):
         self._focal_cache.clear()
+        self._refresh_rays()
+
+    def _rays(self, image_id: int) -> np.ndarray:
+        """Normalized rays of the image's keypoints under CURRENT intrinsics.
+
+        The DB-cache rays were computed with the database camera params; once
+        BA refines intrinsics the two drift apart — filtering/triangulating
+        against stale rays mismeasures every observation (at 3% focal drift
+        that is ~9 px of phantom error, enough to delete the whole model).
+        """
+        r = self._rays_cache.get(image_id)
+        return self.cache.images[image_id].rays if r is None else r
+
+    def _refresh_rays(self):
+        """Recompute rays for every image whose camera drifted from the DB
+        params — one batched cam_from_img call per camera group (the tunnel
+        costs ~65ms per device call; per-image calls would not scale)."""
+        groups: Dict[int, List[int]] = {}
+        for iid, cim in self.cache.images.items():
+            cam = self.rec.cameras[cim.camera_id]
+            if np.array_equal(np.asarray(cam.params, np.float64),
+                              self._db_cam_params[cim.camera_id]):
+                self._rays_cache.pop(iid, None)
+            else:
+                groups.setdefault(cim.camera_id, []).append(iid)
+        for cid, iids in groups.items():
+            cam = self.rec.cameras[cid]
+            xys = np.concatenate(
+                [self.cache.images[i].xys for i in iids]).astype(np.float32)
+            cap = _bucket(len(xys))
+            rays = np.asarray(camera_models.cam_from_img(
+                int(cam.model_id),
+                jnp.asarray(cam.padded_params()),
+                jnp.asarray(self._pad(xys, cap)),
+            ))[: len(xys)]
+            off = 0
+            for i in iids:
+                n = len(self.cache.images[i].xys)
+                self._rays_cache[i] = rays[off:off + n]
+                off += n
 
     def _pose(self, image_id: int) -> np.ndarray:
         return self.rec.images[image_id].cam_from_world.astype(np.float32)
@@ -263,8 +314,8 @@ class IncrementalMapper:
             m = m[:, ::-1]
         im1, im2 = self.cache.images[i1], self.cache.images[i2]
         cap = _bucket(len(m))
-        rays1 = self._pad(im1.rays[m[:, 0]].astype(np.float32), cap)
-        rays2 = self._pad(im2.rays[m[:, 1]].astype(np.float32), cap)
+        rays1 = self._pad(self._rays(i1)[m[:, 0]].astype(np.float32), cap)
+        rays2 = self._pad(self._rays(i2)[m[:, 1]].astype(np.float32), cap)
         pix1 = self._pad(im1.xys[m[:, 0]].astype(np.float32), cap)
         pix2 = self._pad(im2.xys[m[:, 1]].astype(np.float32), cap)
         valid = np.zeros(cap, bool)
@@ -294,8 +345,8 @@ class IncrementalMapper:
         cap = _bucket(len(m))
         pose1 = jnp.asarray(self._pose(i1))
         poses2 = jnp.asarray(np.tile(self._pose(i2), (cap, 1)))
-        rays1 = jnp.asarray(self._pad(im1.rays[m[:, 0]].astype(np.float32), cap))
-        rays2 = jnp.asarray(self._pad(im2.rays[m[:, 1]].astype(np.float32), cap))
+        rays1 = jnp.asarray(self._pad(self._rays(i1)[m[:, 0]].astype(np.float32), cap))
+        rays2 = jnp.asarray(self._pad(self._rays(i2)[m[:, 1]].astype(np.float32), cap))
         packed = np.asarray(_triangulate_candidates(pose1, poses2, rays1, rays2))
         X, (angle, z1, z2, e1, e2) = packed[:3].T, packed[3:8]
         f1, f2 = self._focal(i1), self._focal(i2)
@@ -400,7 +451,7 @@ class IncrementalMapper:
         corr_f = np.array(corr_f)
         corr_p = np.array(corr_p)
         X = np.stack([self.rec.points3D[p].xyz for p in corr_p]).astype(np.float32)
-        rays = im.rays[corr_f].astype(np.float32)
+        rays = self._rays(image_id)[corr_f].astype(np.float32)
         cap = _bucket(len(corr_f))
         focal = self._focal(image_id)
         packed = np.asarray(_pnp_ransac(
@@ -489,7 +540,7 @@ class IncrementalMapper:
                 cap = _bucket(len(fs))
                 ez = np.asarray(_reproj_errors(
                     jnp.asarray(np.tile(pose_new, (cap, 1))),
-                    jnp.asarray(self._pad(im.rays[fs].astype(np.float32), cap)),
+                    jnp.asarray(self._pad(self._rays(image_id)[fs].astype(np.float32), cap)),
                     jnp.asarray(self._pad(X, cap)),
                 ))
                 e, z = ez[0], ez[1]
@@ -513,12 +564,12 @@ class IncrementalMapper:
             cap = _bucket(K)
             poses_other = np.stack([self._pose(int(oi)) for oi in cand_oi]).astype(np.float32)
             rays_other = np.stack(
-                [self.cache.images[int(oi)].rays[int(of)] for oi, of in zip(cand_oi, cand_of)]
+                [self._rays(int(oi))[int(of)] for oi, of in zip(cand_oi, cand_of)]
             ).astype(np.float32)
             packed = np.asarray(_triangulate_candidates(
                 jnp.asarray(pose_new.astype(np.float32)),
                 jnp.asarray(self._pad(poses_other, cap)),
-                jnp.asarray(self._pad(im.rays[cand_f].astype(np.float32), cap)),
+                jnp.asarray(self._pad(self._rays(image_id)[cand_f].astype(np.float32), cap)),
                 jnp.asarray(self._pad(rays_other, cap)),
             ))
             X, (angle, z1, z2, e1, e2) = packed[:3].T, packed[3:8]
@@ -724,11 +775,12 @@ class IncrementalMapper:
             items = [(pid, self.rec.points3D[pid]) for pid in pids
                      if pid in self.rec.points3D]
         pose_cache = {iid: self._pose(iid) for iid in self.registered}
+        rays_cache = {iid: self._rays(iid) for iid in self.registered}
         obs_pose, obs_rays, obs_X, obs_pid, obs_img, obs_f = [], [], [], [], [], []
         for pid, pt in items:
             for (iid, f) in pt.track:
                 obs_pose.append(pose_cache[iid])
-                obs_rays.append(self.cache.images[iid].rays[f])
+                obs_rays.append(rays_cache[iid][f])
                 obs_X.append(pt.xyz)
                 obs_pid.append(pid)
                 obs_img.append(iid)
