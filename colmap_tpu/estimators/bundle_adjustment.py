@@ -580,6 +580,8 @@ def make_problem(
     fix_first_pose_and_gauge: bool = False,
     refine_intrinsics: bool = False,
     refine_extra_params: bool = False,
+    refine_principal_point: bool = False,
+    camera_model_ids=None,
     dtype=jnp.float32,
 ) -> BAProblem:
     """Build a BAProblem from numpy/JAX arrays with COLMAP-like gauge defaults.
@@ -605,10 +607,22 @@ def make_problem(
         pose_mask[0] = 0.0
         pose_mask[1, 3] = 0.0  # tx of second pose
     cam_mask = np.zeros((C, 12), np.float32)
-    if refine_intrinsics:
-        cam_mask[:, :4] = 1.0
-    if refine_extra_params:
-        cam_mask[:, 4:] = 1.0
+    if camera_model_ids is not None:
+        # reference BA defaults: refine focal (+extra params when asked),
+        # keep the principal point FIXED unless explicitly requested
+        from colmap_tpu.sensor import models as _cm
+
+        for c in range(C):
+            if refine_intrinsics:
+                cam_mask[c] = _cm.refine_mask(
+                    int(camera_model_ids[c]), focal=True,
+                    principal_point=refine_principal_point,
+                    extra=refine_extra_params)
+    else:
+        if refine_intrinsics:
+            cam_mask[:, :4] = 1.0
+        if refine_extra_params:
+            cam_mask[:, 4:] = 1.0
 
     pt_g, pose_g, cam_oh, pt_g_ps, ps_point = build_gather_layouts(
         obs_point_idx, obs_pose_idx, obs_cam_idx, np.asarray(obs_weight),

@@ -92,6 +92,34 @@ _FXFY_CXCY = {
 }
 
 
+def refine_mask(model_id: int, focal: bool = True,
+                principal_point: bool = False, extra: bool = True):
+    """Per-parameter refinement mask for bundle adjustment.
+
+    Mirrors the reference's BundleAdjustmentOptions defaults
+    (controllers/incremental_pipeline.h: ba_refine_focal_length=true,
+    ba_refine_principal_point=FALSE, ba_refine_extra_params=true) — the
+    principal point is held fixed unless explicitly requested; letting it
+    float on small scenes trades pp against focal/point depth and bends
+    the reconstruction.
+    """
+    import numpy as np
+
+    mid = CameraModelId(model_id)
+    fx, fy, cx, cy = _FXFY_CXCY[mid]
+    m = np.zeros(MAX_PARAMS, np.float32)
+    if focal:
+        m[fx] = m[fy] = 1.0
+    if principal_point:
+        m[cx] = m[cy] = 1.0
+    if extra:
+        cam_idx = {fx, fy, cx, cy}
+        for i in range(NUM_PARAMS[mid]):
+            if i not in cam_idx:
+                m[i] = 1.0
+    return m
+
+
 def pad_params(params, dtype=jnp.float32):
     """Pad a per-model parameter list to a fixed MAX_PARAMS vector."""
     import numpy as np

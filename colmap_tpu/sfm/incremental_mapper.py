@@ -666,6 +666,8 @@ class IncrementalMapper:
             self._pad(np.stack(obs_xy).astype(np.float32), cap),
             obs_weight=self._pad(np.ones(n_obs, np.float32), cap),
             refine_intrinsics=refine_intrinsics,
+            refine_extra_params=refine_intrinsics,
+            camera_model_ids=[self.rec.cameras[cid].model_id for cid in cams],
         )
         # freeze non-variable images + all padding rows
         pose_mask = np.zeros((P_b, 6), np.float32)

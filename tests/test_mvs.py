@@ -169,6 +169,36 @@ def test_dense_pipeline_end_to_end(room, workspace):
     assert np.median(d_surf) < 0.08 * s
 
 
+def test_dense_downscale(room, workspace):
+    """max_image_size: stereo at reduced resolution with scaled calibration
+    (reference: Workspace max_image_size). Runs AFTER the full-res e2e test
+    (module-ordered) and overwrites the photometric maps at half size."""
+    from colmap_tpu.controllers import dense_reconstruction as dense
+
+    o = room["opts"]
+    target = max(o.width, o.height) // 2
+    depths = dense.run_patch_match_stereo(
+        workspace,
+        dense.PatchMatchStereoOptions(
+            patch_match=pm.PatchMatchOptions(num_iterations=3),
+            max_num_src_images=3, geom_consistency=False,
+            max_image_size=target))
+    assert len(depths) == 4
+    for d in depths.values():
+        assert max(d.shape) == target
+    cloud = dense.run_stereo_fusion(
+        workspace, fusion_mod.StereoFusionOptions(
+            min_num_pixels=3, max_depth_error=0.05, max_normal_error_deg=30.0),
+        input_type="photometric", max_image_size=target)
+    assert len(cloud["xyz"]) > 500
+    s = o.room_size
+    xyz = cloud["xyz"]
+    d_surf = np.minimum(np.minimum(np.abs(xyz[:, 2] - s), np.abs(xyz[:, 0] - s)),
+                        np.abs(xyz[:, 1] - s / 2))
+    frac_near = (d_surf < 0.07 * s).mean()
+    assert frac_near > 0.6, f"only {frac_near:.2f} of fused points near GT surfaces"
+
+
 def test_surface_nets_sphere():
     n = 48
     g = np.mgrid[0:n, 0:n, 0:n].astype(np.float32)
