@@ -68,7 +68,11 @@ class BAProblem(NamedTuple):
     point_mask: jax.Array  # (M, 3) float
     pt_gather: Optional[jax.Array] = None  # (M, T) int32 obs idx, -1 = pad
     pose_gather: Optional[jax.Array] = None  # (P, S) int32 obs idx, -1 = pad
-    cam_onehot: Optional[jax.Array] = None  # (N, C) float one-hot
+    # camera of each pose (every image has exactly one camera, so camera
+    # reductions go obs -> pose -> camera; the (P, C) one-hot is tiny,
+    # unlike the previous dense (N, C) layout which was 800 MB at
+    # 1M obs x 200 cams)
+    pose_cam_idx: Optional[jax.Array] = None  # (P,) int32
     # pose-major dense layout companions (see lm_step): indices of each
     # point's observations in the flattened (P*S) pose-major space, and the
     # point index of every (P, S) slot
@@ -89,6 +93,11 @@ class BAOptions:
     initial_lambda: float = 1e-4
     min_lambda: float = 1e-10
     max_lambda: float = 1e6
+    # early exit (reference: ceres function_tolerance): stop once an
+    # accepted step decreases the cost by less than this relative amount,
+    # or once lambda saturates at max_lambda (solver stuck). <= 0 disables
+    # and always runs max_iterations (the fixed-cost bench mode).
+    function_tolerance: float = 1e-6
     # camera model id shared by the problem (static specialization)
     camera_model_id: int = int(camera_models.CameraModelId.SIMPLE_RADIAL)
 
@@ -255,7 +264,11 @@ def _make_reducers(problem: "BAProblem", axis_name, P: int, C: int, M: int):
     if axis_name is None and problem.pt_gather is not None:
         pt_g = problem.pt_gather
         pose_g = problem.pose_gather
-        cam_oh = problem.cam_onehot
+        # (P, C) one-hot: camera reductions go obs -> pose -> camera. Each
+        # pose has exactly one camera, so summing pose partials per camera
+        # is exact, and the one-hot is O(P*C) instead of O(N*C).
+        pose_cam_oh = (problem.pose_cam_idx[:, None]
+                       == jnp.arange(C)[None, :]).astype(jnp.float32)
 
         def point_reduce(v):
             return _gather_reduce(v, pt_g)
@@ -264,9 +277,9 @@ def _make_reducers(problem: "BAProblem", axis_name, P: int, C: int, M: int):
             return _gather_reduce(v, pose_g)
 
         def cam_reduce(v):
-            # (N, ...) -> (C, ...) via one-hot MXU contraction
-            flat = v.reshape(v.shape[0], -1)
-            out = jnp.einsum("nc,nk->ck", cam_oh, flat,
+            per_pose = _gather_reduce(v, pose_g)  # (P, ...)
+            flat = per_pose.reshape(P, -1)
+            out = jnp.einsum("pc,pk->ck", pose_cam_oh, flat,
                              preferred_element_type=flat.dtype)
             return out.reshape((C,) + v.shape[1:])
 
@@ -289,6 +302,11 @@ class LMState(NamedTuple):
     lam: jax.Array
     cost: jax.Array
     iteration: jax.Array
+    # |trial_cost - cost| / cost of the LAST trial step (accepted or not):
+    # the convergence signal for function_tolerance termination. A rejected
+    # step with negligible cost change means the damped step has shrunk to
+    # nothing — the stationary-point analog of ceres' termination.
+    rel_change: jax.Array = None
 
 
 def lm_step(state: LMState, options: BAOptions, axis_name: Optional[str] = None):
@@ -369,14 +387,17 @@ def lm_step(state: LMState, options: BAOptions, axis_name: Optional[str] = None)
         gmask = (gidx >= 0)
         if use_cam:
             Jc_l = to_ps(Jc)
-            oh_l = to_ps(problem.cam_onehot)  # (P, S, C)
-            cam_idx_l = jnp.where(
-                ps_mask, problem.obs_cam_idx[jnp.maximum(Sg, 0)], 0)
+            # every pose has one camera: broadcast u_cam per pose and
+            # reduce camera contributions pose-first through the tiny
+            # (P, C) one-hot (the old (P, S, C) layout was O(obs * C))
+            pose_cam = problem.pose_cam_idx  # (P,)
+            pose_cam_oh = (pose_cam[:, None]
+                           == jnp.arange(C)[None, :]).astype(Jc_l.dtype)
 
         def S_matvec(u_pose, u_cam):
             a = jnp.einsum("pski,pi->psk", Jp_l, u_pose)
             if use_cam:
-                a = a + jnp.einsum("pski,psi->psk", Jc_l, u_cam[cam_idx_l])
+                a = a + jnp.einsum("pski,pi->psk", Jc_l, u_cam[pose_cam])
             q = jnp.einsum("pski,psk->psi", Jx_l, a).reshape(-1, 3)
             gv = jnp.take(q, jnp.maximum(gidx, 0).reshape(-1), axis=0)
             gv = gv.reshape(gidx.shape + (3,))
@@ -386,8 +407,8 @@ def lm_step(state: LMState, options: BAOptions, axis_name: Optional[str] = None)
             out_pose = jnp.einsum("pski,psk->pi", Jp_l, b) \
                 + lam * dHpp * u_pose + 1e-8 * u_pose
             if use_cam:
-                contrib = jnp.einsum("pski,psk->psi", Jc_l, b)
-                out_cam = jnp.einsum("psc,psi->ci", oh_l, contrib) \
+                contrib = jnp.einsum("pski,psk->pi", Jc_l, b)  # (P, 12)
+                out_cam = jnp.einsum("pc,pi->ci", pose_cam_oh, contrib) \
                     + lam * dHcc * u_cam + 1e-8 * u_cam
             else:
                 out_cam = u_cam
@@ -488,26 +509,61 @@ def lm_step(state: LMState, options: BAOptions, axis_name: Optional[str] = None)
         lam=lam_new,
         cost=next_cost,
         iteration=state.iteration + 1,
+        rel_change=jnp.abs(cur_cost - new_cost) / jnp.maximum(cur_cost, 1e-20),
+    )
+
+
+def run_lm(state: LMState, options: BAOptions,
+           axis_name: Optional[str] = None) -> LMState:
+    """The LM iteration loop (traceable; shared by solve/solve_distributed).
+
+    With function_tolerance > 0 this is a while_loop that exits as soon as
+    an accepted step improves the cost by less than the tolerance (or the
+    damping saturates with no accepted step) — the analog of ceres
+    function_tolerance termination, and the main reason intermediate global
+    BAs inside the mapper are cheap once the model is nearly converged.
+    """
+    if options.function_tolerance <= 0:
+        def body(_, s):
+            return lm_step(s, options, axis_name)
+
+        return jax.lax.fori_loop(0, options.max_iterations, body, state)
+
+    tol = options.function_tolerance
+    if state.rel_change is None:
+        state = state._replace(
+            rel_change=jnp.asarray(jnp.inf, state.cost.dtype))
+
+    def cond(s):
+        stuck = s.lam >= options.max_lambda * 0.999
+        # cost < tol is the absolute-zero escape: a squared-pixel cost
+        # below the tolerance is exactly converged for any real problem
+        # (without it, a start at the optimum ramps lambda for ~15 iters)
+        converged = (s.rel_change < tol) | stuck | (s.cost < tol)
+        return (s.iteration < options.max_iterations) & ~converged
+
+    return jax.lax.while_loop(cond, lambda s: lm_step(s, options, axis_name),
+                              state)
+
+
+def init_state(problem: BAProblem, options: BAOptions,
+               axis_name: Optional[str] = None) -> LMState:
+    cost0 = compute_cost(problem, options)
+    if axis_name is not None:
+        cost0 = jax.lax.psum(cost0, axis_name)
+    return LMState(
+        problem=problem,
+        lam=jnp.asarray(options.initial_lambda, problem.poses.dtype),
+        cost=cost0,
+        iteration=jnp.asarray(0, jnp.int32),
+        rel_change=jnp.asarray(jnp.inf, cost0.dtype),
     )
 
 
 @partial(jax.jit, static_argnames=("options", "axis_name"))
 def solve(problem: BAProblem, options: BAOptions, axis_name: Optional[str] = None) -> LMState:
-    """Run `options.max_iterations` LM iterations (fully on device)."""
-    cost0 = compute_cost(problem, options)
-    if axis_name is not None:
-        cost0 = jax.lax.psum(cost0, axis_name)
-    state = LMState(
-        problem=problem,
-        lam=jnp.asarray(options.initial_lambda, problem.poses.dtype),
-        cost=cost0,
-        iteration=jnp.asarray(0, jnp.int32),
-    )
-
-    def body(_, s):
-        return lm_step(s, options, axis_name)
-
-    return jax.lax.fori_loop(0, options.max_iterations, body, state)
+    """Run up to `options.max_iterations` LM iterations (fully on device)."""
+    return run_lm(init_state(problem, options, axis_name), options, axis_name)
 
 
 # ---------------------------------------------------------------------------
@@ -520,9 +576,9 @@ def build_gather_layouts(obs_point_idx, obs_pose_idx, obs_cam_idx,
                          max_pad_ratio: float = 8.0):
     """Host-side construction of the scatter-free reduction layouts.
 
-    Returns (pt_gather (M, T), pose_gather (P, S), cam_onehot (N, C)) as
-    numpy arrays, or (None, None, None) when padding would blow up memory
-    (heavily skewed per-pose observation counts).
+    Returns (pt_gather (M, T), pose_gather (P, S), pose_cam_idx (P,),
+    pt_gather_ps, ps_point_idx) as numpy arrays, or all-None when padding
+    would blow up memory (heavily skewed per-pose observation counts).
     """
     import numpy as np
 
@@ -553,8 +609,11 @@ def build_gather_layouts(obs_point_idx, obs_pose_idx, obs_cam_idx,
     pose_g = layout(po, P)
     if pt_g is None or pose_g is None:
         return None, None, None, None, None
-    oh = np.zeros((n, C), np.float32)
-    oh[np.arange(n), cam] = live.astype(np.float32)
+    # camera of each pose (from any live observation; poses with no live
+    # observations map to camera 0 — their reduced contributions are zero)
+    pose_cam = np.zeros(P, np.int32)
+    if live.any():
+        pose_cam[po[live]] = cam[live]
     # pose-major companions: position of each obs in the (P*S) space
     S = pose_g.shape[1]
     pos_in_ps = np.full(n, -1, np.int64)
@@ -564,7 +623,7 @@ def build_gather_layouts(obs_point_idx, obs_pose_idx, obs_cam_idx,
                        ).astype(np.int32)
     ps_point = np.where(pose_g >= 0, pt[np.maximum(pose_g, 0)], 0
                         ).astype(np.int32)
-    return pt_g, pose_g, oh, pt_g_ps, ps_point
+    return pt_g, pose_g, pose_cam, pt_g_ps, ps_point
 
 
 def make_problem(
@@ -624,7 +683,7 @@ def make_problem(
         if refine_extra_params:
             cam_mask[:, 4:] = 1.0
 
-    pt_g, pose_g, cam_oh, pt_g_ps, ps_point = build_gather_layouts(
+    pt_g, pose_g, pose_cam, pt_g_ps, ps_point = build_gather_layouts(
         obs_point_idx, obs_pose_idx, obs_cam_idx, np.asarray(obs_weight),
         M, P, C)
 
@@ -642,7 +701,7 @@ def make_problem(
         point_mask=jnp.ones((M, 3), dtype),
         pt_gather=None if pt_g is None else jnp.asarray(pt_g),
         pose_gather=None if pose_g is None else jnp.asarray(pose_g),
-        cam_onehot=None if cam_oh is None else jnp.asarray(cam_oh, dtype),
+        pose_cam_idx=None if pose_cam is None else jnp.asarray(pose_cam),
         pt_gather_ps=None if pt_g_ps is None else jnp.asarray(pt_g_ps),
         ps_point_idx=None if ps_point is None else jnp.asarray(ps_point),
     )

@@ -38,7 +38,7 @@ def shard_problem(problem: ba.BAProblem, n_shards: int) -> ba.BAProblem:
         # path reduces with segment_sum + psum instead
         pt_gather=None,
         pose_gather=None,
-        cam_onehot=None,
+        pose_cam_idx=None,
         pt_gather_ps=None,
         ps_point_idx=None,
     )
@@ -65,7 +65,8 @@ def solve_distributed(problem: ba.BAProblem, options: ba.BAOptions,
         cam_mask=P(),
         point_mask=P(),
     )
-    state_spec = ba.LMState(problem=obs_spec, lam=P(), cost=P(), iteration=P())
+    state_spec = ba.LMState(problem=obs_spec, lam=P(), cost=P(), iteration=P(),
+                            rel_change=P())
 
     @partial(
         jax.shard_map,
@@ -75,18 +76,8 @@ def solve_distributed(problem: ba.BAProblem, options: ba.BAOptions,
         check_vma=False,
     )
     def run(p: ba.BAProblem) -> ba.LMState:
-        cost0 = jax.lax.psum(ba.compute_cost(p, options), DATA_AXIS)
-        state = ba.LMState(
-            problem=p,
-            lam=jnp.asarray(options.initial_lambda, p.poses.dtype),
-            cost=cost0,
-            iteration=jnp.asarray(0, jnp.int32),
-        )
-
-        def body(_, s):
-            return ba.lm_step(s, options, axis_name=DATA_AXIS)
-
-        return jax.lax.fori_loop(0, options.max_iterations, body, state)
+        state = ba.init_state(p, options, axis_name=DATA_AXIS)
+        return ba.run_lm(state, options, axis_name=DATA_AXIS)
 
     with mesh:
         return jax.jit(run)(problem)

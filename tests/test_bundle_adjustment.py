@@ -132,3 +132,91 @@ def test_ba_fixed_points_stay(rng):
     options = ba.BAOptions(max_iterations=3, cg_iterations=10, camera_model_id=model_id)
     state = ba.solve(problem, options)
     np.testing.assert_allclose(np.asarray(state.problem.points), points, atol=1e-6)
+
+
+def build_multi_camera_ba(rng, num_poses=6, num_cams=3, num_points=120):
+    """Variant of build_synthetic_ba with several cameras (pose p -> cam p%C)."""
+    poses, cams, points, (op, oc, opt_, oxy), model_id = build_synthetic_ba(
+        rng, num_poses=num_poses, num_points=num_points)
+    cam_params = np.tile(cams, (num_cams, 1))
+    # distinct focals so a camera mixup would show in the solution
+    for c in range(num_cams):
+        cam_params[c, 0] = 1000.0 + 20.0 * c
+    pose_cam = np.arange(num_poses, dtype=np.int32) % num_cams
+    oc = pose_cam[op]
+    # re-project under each pose's actual camera
+    pc = np.asarray(rigid3.apply(jnp.asarray(poses[op]), jnp.asarray(points[opt_])))
+    uv = pc[:, :2] / pc[:, 2:]
+    oxy = np.asarray(cm.img_from_cam(
+        model_id, jnp.asarray(cam_params[oc]), jnp.asarray(uv))).astype(np.float32)
+    return poses, cam_params, points, (op, oc, opt_, oxy), model_id
+
+
+def test_ba_multi_camera_gather_matches_segsum(rng):
+    """The pose->camera reduction (gather layouts) must agree with the
+    segment-sum fallback on a multi-camera problem with intrinsics on."""
+    poses, cam_params, points, obs, model_id = build_multi_camera_ba(rng)
+    noisy = np.array(
+        rigid3.exp_update(
+            jnp.asarray(poses),
+            jnp.asarray(rng.normal(0, 0.003, (len(poses), 6)).astype(np.float32)),
+        )
+    )
+    noisy[0], noisy[1] = poses[0], poses[1]
+    problem = ba.make_problem(
+        noisy, cam_params, points, *obs, fix_first_pose_and_gauge=True,
+        refine_intrinsics=True, camera_model_ids=[model_id] * len(cam_params),
+    )
+    assert problem.pt_gather is not None
+    assert problem.pose_cam_idx is not None
+    options = ba.BAOptions(max_iterations=8, cg_iterations=15,
+                           camera_model_id=model_id, function_tolerance=0.0)
+    fast = ba.solve(problem, options)
+    slow = ba.solve(
+        problem._replace(pt_gather=None, pose_gather=None, pose_cam_idx=None,
+                         pt_gather_ps=None, ps_point_idx=None),
+        options,
+    )
+    np.testing.assert_allclose(float(fast.cost), float(slow.cost),
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fast.problem.poses),
+                               np.asarray(slow.problem.poses), atol=2e-4)
+
+
+def test_ba_layout_memory_bounded_at_scale():
+    """P=1024 / C=64 / N=1M: no layout array may scale like N*C (the old
+    dense one-hot was N*C = 256 MB here; the pose_cam_idx replacement is 4 KB)."""
+    rng = np.random.default_rng(0)
+    P, C, M, N = 1024, 64, 100_000, 1_000_000
+    obs_pose = rng.integers(0, P, N).astype(np.int32)
+    obs_cam = (obs_pose % C).astype(np.int32)
+    # near-uniform point degrees (10 obs/point) keep the pad ratio sane
+    obs_pt = np.repeat(np.arange(M, dtype=np.int32), 10)
+    obs_weight = np.ones(N, np.float32)
+    pt_g, pose_g, pose_cam, pt_g_ps, ps_point = ba.build_gather_layouts(
+        obs_pt, obs_pose, obs_cam, obs_weight, M, P, C)
+    assert pt_g is not None
+    assert pose_cam.shape == (P,)
+    total_bytes = sum(a.nbytes for a in (pt_g, pose_g, pose_cam, pt_g_ps, ps_point))
+    # all layouts together stay within a small multiple of the obs axis
+    assert total_bytes < 16 * N * 4, total_bytes
+    # consistency: every pose's camera assignment matches the obs tableau
+    np.testing.assert_array_equal(pose_cam, np.arange(P) % C)
+
+
+def test_ba_early_exit_function_tolerance(rng):
+    poses, cams, points, obs, model_id = build_synthetic_ba(rng)
+    problem = ba.make_problem(poses, cams, points, *obs,
+                              fix_first_pose_and_gauge=True)
+    options = ba.BAOptions(max_iterations=40, cg_iterations=15,
+                           camera_model_id=model_id, function_tolerance=1e-6)
+    state = ba.solve(problem, options)
+    # the problem starts at the optimum: the solver must bail out early
+    assert int(state.iteration) <= 4, int(state.iteration)
+
+    full = ba.BAOptions(max_iterations=40, cg_iterations=15,
+                        camera_model_id=model_id, function_tolerance=0.0)
+    state_full = ba.solve(problem, full)
+    assert int(state_full.iteration) == 40
+    np.testing.assert_allclose(float(state.cost), float(state_full.cost),
+                               rtol=1e-3, atol=1e-6)
