@@ -271,7 +271,7 @@ def run_bundle_adjuster(argv):
     mapper.adjust_global_bundle(
         refine_intrinsics=bool(args.refine_focal),
         ba_options=ba.BAOptions(max_iterations=min(args.ba_iters, 50)))
-    _write_model(mapper.rec, args.output_path)
+    _write_model(mapper.finalize(), args.output_path)
     return 0
 
 

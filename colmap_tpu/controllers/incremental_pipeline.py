@@ -100,18 +100,20 @@ class IncrementalPipeline:
             tried.add(pair)
         return None
 
-    def _maybe_snapshot(self, mapper: IncrementalMapper):
+    def _maybe_snapshot(self, mapper: IncrementalMapper, last_snapshot: int) -> int:
         opts = self.options
         if not opts.snapshot_path or opts.snapshot_images_freq <= 0:
-            return
+            return last_snapshot
         n = len(mapper.registered)
-        if n % opts.snapshot_images_freq == 0:
+        if n // opts.snapshot_images_freq > last_snapshot // opts.snapshot_images_freq:
             from colmap_tpu.scene import reconstruction_io
 
             path = os.path.join(opts.snapshot_path, f"{n:06d}")
             os.makedirs(path, exist_ok=True)
-            reconstruction_io.write_model(mapper.rec, path, ext=".bin")
+            reconstruction_io.write_model(mapper.finalize(), path, ext=".bin")
             logger.info("snapshot at %d images -> %s", n, path)
+            return n
+        return last_snapshot
 
     def _reconstruct_sub_model(self, cache: DatabaseCache, seed: int,
                                exclude_images: Set[int],
@@ -126,62 +128,63 @@ class IncrementalPipeline:
             mapper.filter_points()
 
         last_global_images = max(len(mapper.registered), 2)
-        last_global_points = max(len(mapper.rec.points3D), 1)
+        last_global_points = max(mapper.num_points3D(), 1)
+        last_snapshot = 0
 
         while True:
-            candidates = [i for i in mapper.find_next_images()
-                          if i not in exclude_images]
+            # round-based registration: PnP-register up to ~10% of the
+            # current model in ONE vmapped device call, then triangulate
+            # the whole round in one batch and local-BA the union. The
+            # growth-triggered global refinements keep the same cadence as
+            # the reference's per-image loop (ratio 1.1).
+            n_reg = len(mapper.registered)
+            batch = max(1, min(self.options.mapper.max_batch_size,
+                               n_reg // 10))
+            candidates = [i for i in mapper.find_next_images(
+                max_images=2 * batch + 10) if i not in exclude_images][:batch]
             if not candidates:
                 break
-            registered_any = False
-            for iid in candidates:
-                if mapper.register_next_image(iid):
-                    logger.info("registered image %d (#%d)", iid,
-                                len(mapper.registered))
-                    if self.next_image_callback is not None:
-                        self.next_image_callback(iid)
-                    mapper.triangulate_image(iid)
-                    local_pids = mapper.adjust_local_bundle(iid)
-                    # local filtering: only the points touched by the local
-                    # bundle (reference: FilterPoints3DInImages after local
-                    # BA; the full pass runs in global refinement)
-                    mapper.filter_points(pids=local_pids)
-                    registered_any = True
-                    self._maybe_snapshot(mapper)
+            accepted = mapper.register_next_images(candidates)
+            if not accepted:
+                continue  # trials are bounded by max_reg_trials
+            logger.info("registered %d image(s) (#%d): %s", len(accepted),
+                        len(mapper.registered), accepted)
+            if self.next_image_callback is not None:
+                for iid in accepted:
+                    self.next_image_callback(iid)
+            mapper.triangulate_images(accepted)
+            local_pids = mapper.adjust_local_bundle(accepted)
+            # local filtering: only the points touched by the local bundle
+            # (reference: FilterPoints3DInImages after local BA; the full
+            # pass runs in global refinement)
+            mapper.filter_points(pids=local_pids)
+            last_snapshot = self._maybe_snapshot(mapper, last_snapshot)
 
-                    n_img = len(mapper.registered)
-                    n_pts = max(len(mapper.rec.points3D), 1)
-                    if (n_img > self.options.ba_global_images_ratio * last_global_images
-                            or n_pts > self.options.ba_global_points_ratio * last_global_points):
-                        self._global_refinement(mapper)
-                        last_global_images = n_img
-                        last_global_points = len(mapper.rec.points3D)
-                    break  # re-rank candidates after each registration
-            if not registered_any:
-                break
+            n_img = len(mapper.registered)
+            n_pts = max(mapper.num_points3D(), 1)
+            if (n_img > self.options.ba_global_images_ratio * last_global_images
+                    or n_pts > self.options.ba_global_points_ratio * last_global_points):
+                self._global_refinement(mapper)
+                last_global_images = n_img
+                last_global_points = mapper.num_points3D()
 
         self._global_refinement(mapper, final=True)
         if mapper.rec.num_registered_images() < self.options.min_model_size:
             return None
-        return mapper.rec
+        return mapper.finalize()
 
     def _global_refinement(self, mapper: IncrementalMapper, final: bool = False):
-        """Retriangulate + global BA + filter (reference:
-        IterativeGlobalRefinement, sfm/incremental_mapper.cc:688).
-
-        Retriangulation sweeps every registered image — O(images) device
-        calls — so it runs only in the FINAL refinement (the growth-step
-        refinements just re-solve BA + filter; under-reconstruction heals
-        when the final sweep runs).
-        """
+        """Retriangulate + global BA + filter on EVERY global refinement
+        (reference: IterativeGlobalRefinement, sfm/incremental_mapper.cc:688
+        — retriangulates and filters inside the loop, not just at the end).
+        The whole retriangulation sweep is one batched create/continue pass
+        over all registered images."""
         n_img = len(mapper.registered)
         logger.info("global refinement at %d images", n_img)
-        if self.options.retriangulate and final:
-            n_new = 0
-            for iid in list(mapper.registered):
-                n_new += mapper.triangulate_image(iid)
+        if self.options.retriangulate:
+            n_new = mapper.triangulate_images(list(mapper.registered))
             if n_new:
-                logger.info("retriangulation added %d points", n_new)
+                logger.info("retriangulation added %d observations", n_new)
         mapper.adjust_global_bundle(
             refine_intrinsics=self.options.ba_refine_focal_length and n_img >= 8)
         mapper.filter_points()
@@ -223,26 +226,7 @@ class IncrementalPipeline:
                            model: Reconstruction, seed: int
                            ) -> Optional[IncrementalMapper]:
         mapper = IncrementalMapper(cache, self.options.mapper, seed=seed)
-        for iid, im in model.images.items():
-            if iid in mapper.rec.images and im.registered:
-                mapper.rec.images[iid].cam_from_world = np.asarray(
-                    im.cam_from_world, np.float64)
-                mapper.registered.append(iid)
-        for cid, cam in model.cameras.items():
-            if cid in mapper.rec.cameras:
-                mapper.rec.cameras[cid].params = np.asarray(cam.params,
-                                                            np.float64)
-        # the input model may carry refined intrinsics: drop focal/ray caches
-        # so all geometry uses the current params, not the DB ones
-        mapper.invalidate_focal_cache()
-        for pid, pt in model.points3D.items():
-            track = [(iid, p2d) for (iid, p2d) in pt.track
-                     if iid in mapper.rec.images
-                     and len(mapper.rec.images[iid].point3D_ids) > p2d
-                     and mapper.rec.images[iid].point3D_ids[p2d] < 0]
-            if len(track) >= 2:
-                mapper.rec.add_point3D(pt.xyz, track, color=pt.color)
-        if len(mapper.registered) < 2:
+        if not mapper.seed_from_model(model):
             return None
         return mapper
 

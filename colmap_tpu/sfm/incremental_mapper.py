@@ -4,23 +4,32 @@ Reference: src/colmap/sfm/incremental_mapper.h:63-340 (+ the
 IncrementalTriangulator and ObservationManager responsibilities,
 sfm/incremental_triangulator.h:42, sfm/observation_manager.h:44, folded in).
 
-TPU architecture: the O(images) *decisions* stay on host (they're tiny);
-every inner operation is a fixed-capacity batched device call —
-  * initial-pair two-view geometry  -> one fused E/F/H RANSAC program,
-  * PnP registration               -> batched P3P LO-RANSAC + GN refine,
-  * triangulation of new tracks    -> one batched two-view DLT call per
-                                      image (all candidate pairs at once),
-  * local/global BA                -> the batched-LM Schur engine,
-  * observation filtering          -> one batched reprojection pass.
-Array shapes are bucketed (next power of two) so jit caches stay warm
-across registrations.
+TPU architecture (round 2 redesign): the mapper's working state lives in
+flat numpy arrays — poses (I, 7), a single flat keypoint/ray/point-id
+table over all images, and an append-only observation tableau
+(obs_img_row, obs_feat, obs_pid) — so every decision step is a vectorized
+scan instead of a Python loop over dict-of-lists tracks. Device work is
+batched per ROUND, not per image:
+
+  * PnP registration of a whole candidate batch  -> ONE vmapped
+    P3P LO-RANSAC program,
+  * triangulation of every new track candidate from all round images
+    -> ONE batched two-view DLT call,
+  * track continuation / completion / merging   -> vectorized host
+    reprojection checks over the flat tableau (elementwise math; no
+    transfer is worth 65 ms through the tunnel),
+  * local/global BA                              -> the batched-LM Schur
+    engine, problem assembled by pure array gathers.
+
+Array shapes offered to jit are bucketed (next power of two) so compiled
+programs stay warm across rounds.
 """
 
 from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Dict, List, Optional, Set, Tuple
+from typing import Dict, List, Optional, Sequence, Set, Tuple
 
 import numpy as np
 
@@ -37,7 +46,11 @@ from colmap_tpu.geometry.triangulation import (
 )
 from colmap_tpu.optim.ransac import RansacOptions, ransac
 from colmap_tpu.scene.database_cache import DatabaseCache
-from colmap_tpu.scene.reconstruction import Reconstruction, Image as RecImage
+from colmap_tpu.scene.reconstruction import (
+    Point3D,
+    Reconstruction,
+    Image as RecImage,
+)
 from colmap_tpu.sensor import models as camera_models
 
 
@@ -61,9 +74,14 @@ class IncrementalMapperOptions:
     filter_min_tri_angle_deg: float = 1.5
     create_min_tri_angle_deg: float = 1.5  # triangulator min angle
     continue_max_reproj_error: float = 4.0
+    merge_max_reproj_error: float = 4.0  # triangulator MergeTracks
+    complete_max_reproj_error: float = 4.0  # triangulator CompleteTracks
     local_ba_num_images: int = 6
     min_track_len: int = 2
     max_reg_trials: int = 3
+    # registration batch: up to this many candidates PnP-register in one
+    # vmapped device call per round (host decisions stay per-image)
+    max_batch_size: int = 16
     num_threads: int = -1  # API parity; host work is vectorized instead
 
 
@@ -77,8 +95,7 @@ def _bucket(n: int, lo: int = 64) -> int:
 # ---------------------------------------------------------------------------
 
 
-@jax.jit
-def _pnp_ransac(key, points3d, rays, valid, err_norm):
+def _pnp_ransac_one(key, points3d, rays, valid, err_norm):
     """P3P LO-RANSAC + GN polish; residuals in normalized coords."""
     scale = 1.0 / jnp.maximum(err_norm, 1e-12) ** 2
 
@@ -105,24 +122,31 @@ def _pnp_ransac(key, points3d, rays, valid, err_norm):
 
 
 @jax.jit
-def _triangulate_candidates(pose_new, poses_other, rays_new, rays_other):
-    """Batched two-view triangulation of K candidates against one new image.
+def _pnp_ransac_batch(keys, points3d, rays, valid, err_norms):
+    """Register a whole candidate batch: vmapped P3P LO-RANSAC.
 
-    Returns world points + acceptance diagnostics (angles, depths, reproj
-    errors in normalized coords).
+    Shapes: keys (K, 2), points3d (K, N, 3), rays (K, N, 2), valid (K, N),
+    err_norms (K,). Returns (K, 7 + N).
     """
-    K = rays_new.shape[0]
-    pose_new_b = jnp.broadcast_to(pose_new, (K, 7))
-    X = triangulate_point(pose_new_b, poses_other, rays_new, rays_other)
-    c1 = rigid3.projection_center(pose_new_b)
-    c2 = rigid3.projection_center(poses_other)
+    return jax.vmap(_pnp_ransac_one)(keys, points3d, rays, valid, err_norms)
+
+
+@jax.jit
+def _triangulate_pairs(poses1, poses2, rays1, rays2):
+    """Batched two-view DLT triangulation of K candidate pairs.
+
+    Returns one (8, K) array: world points (3) + tri angle + depths (2) +
+    reprojection errors (2, normalized coords) — one device->host transfer.
+    """
+    X = triangulate_point(poses1, poses2, rays1, rays2)
+    c1 = rigid3.projection_center(poses1)
+    c2 = rigid3.projection_center(poses2)
     angle = calculate_triangulation_angle(c1, c2, X)
-    pc1 = rigid3.apply(pose_new_b, X)
-    pc2 = rigid3.apply(poses_other, X)
+    pc1 = rigid3.apply(poses1, X)
+    pc2 = rigid3.apply(poses2, X)
     z1, z2 = pc1[:, 2], pc2[:, 2]
-    e1 = jnp.linalg.norm(pc1[:, :2] / jnp.where(jnp.abs(z1) > 1e-9, z1, 1e-9)[:, None] - rays_new, axis=-1)
-    e2 = jnp.linalg.norm(pc2[:, :2] / jnp.where(jnp.abs(z2) > 1e-9, z2, 1e-9)[:, None] - rays_other, axis=-1)
-    # one (8, K) output = one device->host transfer
+    e1 = jnp.linalg.norm(pc1[:, :2] / jnp.where(jnp.abs(z1) > 1e-9, z1, 1e-9)[:, None] - rays1, axis=-1)
+    e2 = jnp.linalg.norm(pc2[:, :2] / jnp.where(jnp.abs(z2) > 1e-9, z2, 1e-9)[:, None] - rays2, axis=-1)
     return jnp.concatenate([X.T, jnp.stack([angle, z1, z2, e1, e2])])
 
 
@@ -135,21 +159,38 @@ def _estimate_tvg_jit(key, rays1, rays2, pix1, pix2, valid, focal,
 
 
 @jax.jit
-def _reproj_errors(poses, rays, X):
-    """Per-observation normalized reprojection error + depth."""
-    pc = rigid3.apply(poses, X)
-    z = pc[:, 2]
-    z_safe = jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
-    e = jnp.linalg.norm(pc[:, :2] / z_safe[:, None] - rays, axis=-1)
-    return jnp.stack([e, z])  # one transfer
-
-
-@jax.jit
 def _pack_ba_state(state):
     """Flatten (poses, cam_params, points) into one vector (one transfer)."""
     pr = state.problem
     return jnp.concatenate([pr.poses.reshape(-1), pr.cam_params.reshape(-1),
                             pr.points.reshape(-1)])
+
+
+# ---------------------------------------------------------------------------
+# host-side vectorized quaternion math (decision-path geometry: elementwise
+# numpy beats a 65 ms tunnel round-trip for anything under ~10^7 elements)
+# ---------------------------------------------------------------------------
+
+
+def _np_quat_rotate(q: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Rotate v (N, 3) by unit quaternions q (N, 4) [w x y z]."""
+    qv = q[:, 1:4]
+    t = 2.0 * np.cross(qv, v)
+    return v + q[:, :1] * t + np.cross(qv, t)
+
+
+def _np_pose_apply(poses: np.ndarray, X: np.ndarray) -> np.ndarray:
+    """cam_from_world poses (N, 7) applied to world points X (N, 3)."""
+    q = poses[:, :4] / np.maximum(
+        np.linalg.norm(poses[:, :4], axis=-1, keepdims=True), 1e-12)
+    return _np_quat_rotate(q, X) + poses[:, 4:7]
+
+
+def _np_projection_center(poses: np.ndarray) -> np.ndarray:
+    q = poses[:, :4] / np.maximum(
+        np.linalg.norm(poses[:, :4], axis=-1, keepdims=True), 1e-12)
+    q_conj = q * np.array([1.0, -1, -1, -1])
+    return -_np_quat_rotate(q_conj, poses[:, 4:7])
 
 
 # ---------------------------------------------------------------------------
@@ -166,11 +207,25 @@ class IncrementalMapper:
         self.rec = Reconstruction()
         for cam in cache.cameras.values():
             # deep-copy: BA refines rec camera params in place; the cache
-            # (and its precomputed rays) must stay pristine so it can back
-            # other sub-models
+            # must stay pristine so it can back other sub-models
             self.rec.add_camera(dataclasses.replace(
                 cam, params=np.array(cam.params, np.float64, copy=True)))
-        for im in cache.images.values():
+
+        # ---- flat image-side tables ------------------------------------
+        ids = sorted(cache.images)
+        self._img_ids = np.asarray(ids, np.int64)
+        self._row_of: Dict[int, int] = {iid: k for k, iid in enumerate(ids)}
+        counts = np.array([len(cache.images[i].xys) for i in ids], np.int64)
+        self._kp_off = np.concatenate([[0], np.cumsum(counts)])
+        total_kp = int(self._kp_off[-1])
+        self._flat_xys = (np.concatenate([cache.images[i].xys for i in ids])
+                          if total_kp else np.zeros((0, 2))).astype(np.float64)
+        self._flat_rays = (np.concatenate([cache.images[i].rays for i in ids])
+                           if total_kp else np.zeros((0, 2))).astype(np.float64)
+        # feature -> point id, one flat array; per-image arrays are VIEWS
+        self._flat_pids = np.full(total_kp, -1, np.int64)
+        for k, iid in enumerate(ids):
+            im = cache.images[iid]
             self.rec.add_image(
                 RecImage(
                     image_id=im.image_id,
@@ -178,67 +233,97 @@ class IncrementalMapper:
                     camera_id=im.camera_id,
                     cam_from_world=None,
                     xys=im.xys.astype(np.float64),
-                    point3D_ids=np.full(len(im.xys), -1, np.int64),
+                    point3D_ids=self._flat_pids[
+                        self._kp_off[k]: self._kp_off[k + 1]],
                 )
             )
-        self.registered: List[int] = []
-        self._focal_cache: Dict[int, float] = {}
-        # normalized rays under the CURRENT rec intrinsics; empty entries
-        # fall through to the DB-cache rays (valid until intrinsics refine)
-        self._rays_cache: Dict[int, np.ndarray] = {}
+        n_img = len(ids)
+        self._poses = np.zeros((n_img, 7), np.float64)
+        self._poses[:, 0] = 1.0
+        self._reg_mask = np.zeros(n_img, bool)
+        self._cam_of_row = np.array(
+            [cache.images[i].camera_id for i in ids], np.int64)
+        self._focal_arr = np.array(
+            [self.rec.cameras[cid].mean_focal_length()
+             for cid in self._cam_of_row], np.float64)
         self._db_cam_params: Dict[int, np.ndarray] = {
             cid: np.array(c.params, np.float64, copy=True)
             for cid, c in cache.cameras.items()
         }
+
+        # ---- correspondence graph in row space --------------------------
+        # per image row: (offsets (F+1,), other_img_rows (E,), other_feats
+        # (E,), edge_feat (E,)) — feature ids are image-local
+        self._graph: List[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = []
+        id_to_row = np.zeros(int(self._img_ids.max()) + 1 if n_img else 1,
+                             np.int64)
+        id_to_row[self._img_ids] = np.arange(n_img)
+        for iid in ids:
+            offsets, imgs, feats = cache.graph.find_correspondences_all(iid)
+            edge_feat = np.repeat(np.arange(len(offsets) - 1),
+                                  np.diff(offsets))
+            self._graph.append((offsets, id_to_row[imgs], feats.astype(np.int64),
+                                edge_feat.astype(np.int64)))
+        self._neighbors: List[np.ndarray] = [
+            np.unique(self._graph[r][1]) for r in range(n_img)]
+
+        # ---- point / observation store ----------------------------------
+        self._xyz = np.zeros((1024, 3), np.float64)
+        self._color = np.zeros((1024, 3), np.uint8)
+        self._track_len = np.zeros(1024, np.int32)
+        self._num_pts = 0
+        self._obs_img_row = np.zeros(4096, np.int32)
+        self._obs_feat = np.zeros(4096, np.int32)
+        self._obs_pid = np.full(4096, -1, np.int64)
+        self._num_obs = 0
+        self._csr_cache = None
+
+        self.registered: List[int] = []
         self.num_reg_trials: Dict[int, int] = {}
         self._rng = np.random.default_rng(seed)
         self._key = jax.random.PRNGKey(seed)
-        self._num_shared_points: Dict[Tuple[int, int], int] = {}
 
-    # -- small helpers -------------------------------------------------------
+    # ------------------------------------------------------------------
+    # small helpers
+    # ------------------------------------------------------------------
     def _next_key(self):
         self._key, k = jax.random.split(self._key)
         return k
 
     def _focal(self, image_id: int) -> float:
-        f = self._focal_cache.get(image_id)
-        if f is None:
-            f = self.rec.cameras[
-                self.cache.images[image_id].camera_id].mean_focal_length()
-            self._focal_cache[image_id] = f
-        return f
+        return float(self._focal_arr[self._row_of[image_id]])
+
+    def _rays_of(self, image_id: int) -> np.ndarray:
+        r = self._row_of[image_id]
+        return self._flat_rays[self._kp_off[r]: self._kp_off[r + 1]]
+
+    def _pad(self, arr, cap, fill=0.0):
+        out = np.full((cap,) + arr.shape[1:], fill, arr.dtype)
+        out[: len(arr)] = arr
+        return out
+
+    def num_points3D(self) -> int:
+        return int(np.count_nonzero(self._track_len[: self._num_pts]))
 
     def invalidate_focal_cache(self):
-        self._focal_cache.clear()
-        self._refresh_rays()
-
-    def _rays(self, image_id: int) -> np.ndarray:
-        """Normalized rays of the image's keypoints under CURRENT intrinsics.
-
-        The DB-cache rays were computed with the database camera params; once
-        BA refines intrinsics the two drift apart — filtering/triangulating
-        against stale rays mismeasures every observation (at 3% focal drift
-        that is ~9 px of phantom error, enough to delete the whole model).
-        """
-        r = self._rays_cache.get(image_id)
-        return self.cache.images[image_id].rays if r is None else r
-
-    def _refresh_rays(self):
-        """Recompute rays for every image whose camera drifted from the DB
-        params — one batched cam_from_img call per camera group (the tunnel
-        costs ~65ms per device call; per-image calls would not scale)."""
+        """Recompute rays/focals for every image whose camera drifted from
+        the DB params — one batched cam_from_img call per camera group."""
         groups: Dict[int, List[int]] = {}
-        for iid, cim in self.cache.images.items():
-            cam = self.rec.cameras[cim.camera_id]
-            if np.array_equal(np.asarray(cam.params, np.float64),
-                              self._db_cam_params[cim.camera_id]):
-                self._rays_cache.pop(iid, None)
+        for r, iid in enumerate(self._img_ids):
+            cid = int(self._cam_of_row[r])
+            cam = self.rec.cameras[cid]
+            self._focal_arr[r] = cam.mean_focal_length()
+            if not np.array_equal(np.asarray(cam.params, np.float64),
+                                  self._db_cam_params[cid]):
+                groups.setdefault(cid, []).append(r)
             else:
-                groups.setdefault(cim.camera_id, []).append(iid)
-        for cid, iids in groups.items():
+                a, b = self._kp_off[r], self._kp_off[r + 1]
+                self._flat_rays[a:b] = self.cache.images[int(iid)].rays
+        for cid, rows in groups.items():
             cam = self.rec.cameras[cid]
             xys = np.concatenate(
-                [self.cache.images[i].xys for i in iids]).astype(np.float32)
+                [self._flat_xys[self._kp_off[r]: self._kp_off[r + 1]]
+                 for r in rows]).astype(np.float32)
             cap = _bucket(len(xys))
             rays = np.asarray(camera_models.cam_from_img(
                 int(cam.model_id),
@@ -246,20 +331,162 @@ class IncrementalMapper:
                 jnp.asarray(self._pad(xys, cap)),
             ))[: len(xys)]
             off = 0
-            for i in iids:
-                n = len(self.cache.images[i].xys)
-                self._rays_cache[i] = rays[off:off + n]
+            for r in rows:
+                n = int(self._kp_off[r + 1] - self._kp_off[r])
+                self._flat_rays[self._kp_off[r]: self._kp_off[r + 1]] = \
+                    rays[off: off + n]
                 off += n
 
-    def _pose(self, image_id: int) -> np.ndarray:
-        return self.rec.images[image_id].cam_from_world.astype(np.float32)
+    # ------------------------------------------------------------------
+    # observation store
+    # ------------------------------------------------------------------
+    def _grow_points(self, need: int):
+        cap = len(self._xyz)
+        if self._num_pts + need <= cap:
+            return
+        new_cap = max(cap * 2, self._num_pts + need)
+        self._xyz = np.resize(self._xyz, (new_cap, 3))
+        self._color = np.resize(self._color, (new_cap, 3))
+        tl = np.zeros(new_cap, np.int32)
+        tl[: self._num_pts] = self._track_len[: self._num_pts]
+        self._track_len = tl
 
-    def _pad(self, arr, cap, fill=0.0):
-        out = np.full((cap,) + arr.shape[1:], fill, arr.dtype)
-        out[: len(arr)] = arr
+    def _grow_obs(self, need: int):
+        cap = len(self._obs_pid)
+        if self._num_obs + need <= cap:
+            return
+        new_cap = max(cap * 2, self._num_obs + need)
+        for name in ("_obs_img_row", "_obs_feat"):
+            arr = np.zeros(new_cap, getattr(self, name).dtype)
+            arr[: self._num_obs] = getattr(self, name)[: self._num_obs]
+            setattr(self, name, arr)
+        pid = np.full(new_cap, -1, np.int64)
+        pid[: self._num_obs] = self._obs_pid[: self._num_obs]
+        self._obs_pid = pid
+
+    def _append_obs(self, img_rows: np.ndarray, feats: np.ndarray,
+                    pids: np.ndarray) -> int:
+        """Bulk-append observations; skips features that already have a
+        point or points that already see the image. Returns #appended."""
+        if len(img_rows) == 0:
+            return 0
+        g = self._kp_off[img_rows] + feats
+        keep = self._flat_pids[g] < 0
+        # reject obs whose point already observes this image (track
+        # uniqueness per image, reference Track semantics)
+        if keep.any():
+            seen = self._point_sees_image(pids[keep], img_rows[keep])
+            k2 = np.zeros(len(img_rows), bool)
+            k2[np.nonzero(keep)[0][~seen]] = True
+            keep = k2
+        img_rows, feats, pids, g = (img_rows[keep], feats[keep], pids[keep],
+                                    g[keep])
+        # a feature may appear twice in one batch: keep first
+        _, first = np.unique(g, return_index=True)
+        img_rows, feats, pids, g = (img_rows[first], feats[first], pids[first],
+                                    g[first])
+        # one obs per (point, image) inside the batch too
+        key = pids * len(self._img_ids) + img_rows
+        _, first = np.unique(key, return_index=True)
+        img_rows, feats, pids, g = (img_rows[first], feats[first], pids[first],
+                                    g[first])
+        n = len(g)
+        if n == 0:
+            return 0
+        self._grow_obs(n)
+        s = self._num_obs
+        self._obs_img_row[s: s + n] = img_rows
+        self._obs_feat[s: s + n] = feats
+        self._obs_pid[s: s + n] = pids
+        self._num_obs += n
+        self._flat_pids[g] = pids
+        np.add.at(self._track_len, pids, 1)
+        self._csr_cache = None
+        return n
+
+    def _point_sees_image(self, pids: np.ndarray, img_rows: np.ndarray
+                          ) -> np.ndarray:
+        """For each (pid, img_row) query: does pid already observe the image?"""
+        offsets, rows_sorted = self._point_csr()
+        out = np.zeros(len(pids), bool)
+        # vectorized membership: expand each pid's obs rows (tracks are
+        # short: mean ~3-10) — loop over max track length of the queried set
+        starts = offsets[pids]
+        ends = offsets[pids + 1]
+        max_len = int((ends - starts).max()) if len(pids) else 0
+        for j in range(max_len):
+            idx = starts + j
+            ok = idx < ends
+            obs_rows = self._obs_img_row[rows_sorted[np.minimum(
+                idx, len(rows_sorted) - 1)]]
+            out |= ok & (obs_rows == img_rows)
         return out
 
-    # -- initial pair --------------------------------------------------------
+    def _point_csr(self):
+        """(offsets (num_pts+1,), obs_rows_sorted) over ALIVE observations."""
+        if (self._csr_cache is not None
+                and len(self._csr_cache[0]) != self._num_pts + 1):
+            self._csr_cache = None  # points allocated since the last build
+        if self._csr_cache is None:
+            alive = np.nonzero(self._obs_pid[: self._num_obs] >= 0)[0]
+            order = np.argsort(self._obs_pid[alive], kind="stable")
+            rows_sorted = alive[order]
+            offsets = np.searchsorted(
+                self._obs_pid[rows_sorted], np.arange(self._num_pts + 1))
+            self._csr_cache = (offsets, rows_sorted)
+        return self._csr_cache
+
+    def _remove_obs(self, rows: np.ndarray):
+        if len(rows) == 0:
+            return
+        pids = self._obs_pid[rows]
+        g = self._kp_off[self._obs_img_row[rows]] + self._obs_feat[rows]
+        keep = self._flat_pids[g] == pids
+        self._flat_pids[g[keep]] = -1
+        self._obs_pid[rows] = -1
+        np.subtract.at(self._track_len, pids, 1)
+        self._csr_cache = None
+
+    def _delete_points(self, pids: np.ndarray):
+        if len(pids) == 0:
+            return
+        offsets, rows_sorted = self._point_csr()
+        chunks = [rows_sorted[offsets[p]: offsets[p + 1]] for p in pids]
+        if chunks:
+            self._remove_obs(np.concatenate(chunks))
+        self._track_len[pids] = 0
+
+    def add_point(self, xyz, track, color=None) -> int:
+        """Create one point from a [(image_id, feat), ...] track."""
+        self._grow_points(1)
+        pid = self._num_pts
+        self._num_pts += 1
+        self._xyz[pid] = np.asarray(xyz, np.float64)
+        if color is not None:
+            self._color[pid] = np.asarray(color, np.uint8)
+        rows = np.array([self._row_of[iid] for iid, _ in track], np.int32)
+        feats = np.array([f for _, f in track], np.int32)
+        self._append_obs(rows, feats, np.full(len(rows), pid, np.int64))
+        return pid
+
+    def _add_points_bulk(self, X: np.ndarray, rows1, feats1, rows2, feats2
+                         ) -> np.ndarray:
+        """Create len(X) two-view points at once."""
+        n = len(X)
+        self._grow_points(n)
+        pids = np.arange(self._num_pts, self._num_pts + n, dtype=np.int64)
+        self._num_pts += n
+        self._xyz[pids] = X
+        self._append_obs(
+            np.concatenate([rows1, rows2]).astype(np.int32),
+            np.concatenate([feats1, feats2]).astype(np.int32),
+            np.concatenate([pids, pids]),
+        )
+        return pids
+
+    # ------------------------------------------------------------------
+    # initial pair
+    # ------------------------------------------------------------------
     def find_initial_image_pair(self, max_candidates: int = 50, exclude=()):
         """Rank pairs by correspondence count; verify with the fused two-view
         program; gate on inliers + triangulation angle + forward motion.
@@ -287,9 +514,8 @@ class IncrementalMapper:
                 int(tvg.TwoViewConfig.CALIBRATED),
                 int(tvg.TwoViewConfig.UNCALIBRATED),
                 # planar/panoramic pairs initialize via homography
-                # decomposition (reference: PoseFromHomographyMatrix path in
-                # EstimateTwoViewGeometryPose); the tri-angle and
-                # forward-motion gates below still reject panoramic pairs.
+                # decomposition; the tri-angle and forward-motion gates
+                # below still reject panoramic pairs.
                 int(tvg.TwoViewConfig.PLANAR),
                 int(tvg.TwoViewConfig.PLANAR_OR_PANORAMIC),
             ):
@@ -312,12 +538,14 @@ class IncrementalMapper:
             return None
         if i1 > i2:
             m = m[:, ::-1]
-        im1, im2 = self.cache.images[i1], self.cache.images[i2]
         cap = _bucket(len(m))
-        rays1 = self._pad(self._rays(i1)[m[:, 0]].astype(np.float32), cap)
-        rays2 = self._pad(self._rays(i2)[m[:, 1]].astype(np.float32), cap)
-        pix1 = self._pad(im1.xys[m[:, 0]].astype(np.float32), cap)
-        pix2 = self._pad(im2.xys[m[:, 1]].astype(np.float32), cap)
+        r1, r2 = self._row_of[i1], self._row_of[i2]
+        rays1 = self._pad(self._rays_of(i1)[m[:, 0]].astype(np.float32), cap)
+        rays2 = self._pad(self._rays_of(i2)[m[:, 1]].astype(np.float32), cap)
+        xys1 = self._flat_xys[self._kp_off[r1]: self._kp_off[r1 + 1]]
+        xys2 = self._flat_xys[self._kp_off[r2]: self._kp_off[r2 + 1]]
+        pix1 = self._pad(xys1[m[:, 0]].astype(np.float32), cap)
+        pix2 = self._pad(xys2[m[:, 1]].astype(np.float32), cap)
         valid = np.zeros(cap, bool)
         valid[: len(m)] = True
         focal = np.sqrt(self._focal(i1) * self._focal(i2)).astype(np.float32)
@@ -330,6 +558,14 @@ class IncrementalMapper:
         g = jax.tree.map(np.asarray, g)
         return g._replace(inlier_mask=g.inlier_mask[: len(m)])
 
+    def _set_pose(self, image_id: int, pose: np.ndarray):
+        r = self._row_of[image_id]
+        self._poses[r] = pose
+        self.rec.images[image_id].cam_from_world = self._poses[r]
+        if not self._reg_mask[r]:
+            self._reg_mask[r] = True
+            self.registered.append(image_id)
+
     def register_initial_image_pair(self, i1: int, i2: int, g) -> bool:
         """Set identity + relative pose, triangulate the inlier matches."""
         m = self.cache.graph._matches.get((min(i1, i2), max(i1, i2)))
@@ -337,36 +573,41 @@ class IncrementalMapper:
             m = m[:, ::-1]
         inl = np.asarray(g.inlier_mask)[: len(m)]
         m = m[inl]
-        self.rec.images[i1].cam_from_world = np.asarray(rigid3.identity(), np.float64)
-        self.rec.images[i2].cam_from_world = np.asarray(g.cam2_from_cam1, np.float64)
-        self.registered = [i1, i2]
+        self._set_pose(i1, np.asarray(rigid3.identity(), np.float64))
+        self._set_pose(i2, np.asarray(g.cam2_from_cam1, np.float64))
 
-        im1, im2 = self.cache.images[i1], self.cache.images[i2]
         cap = _bucket(len(m))
-        pose1 = jnp.asarray(self._pose(i1))
-        poses2 = jnp.asarray(np.tile(self._pose(i2), (cap, 1)))
-        rays1 = jnp.asarray(self._pad(self._rays(i1)[m[:, 0]].astype(np.float32), cap))
-        rays2 = jnp.asarray(self._pad(self._rays(i2)[m[:, 1]].astype(np.float32), cap))
-        packed = np.asarray(_triangulate_candidates(pose1, poses2, rays1, rays2))
+        r1, r2 = self._row_of[i1], self._row_of[i2]
+        pose1 = np.tile(self._poses[r1].astype(np.float32), (cap, 1))
+        pose2 = np.tile(self._poses[r2].astype(np.float32), (cap, 1))
+        rays1 = self._pad(self._rays_of(i1)[m[:, 0]].astype(np.float32), cap)
+        rays2 = self._pad(self._rays_of(i2)[m[:, 1]].astype(np.float32), cap)
+        packed = np.asarray(_triangulate_pairs(
+            jnp.asarray(pose1), jnp.asarray(pose2),
+            jnp.asarray(rays1), jnp.asarray(rays2)))
         X, (angle, z1, z2, e1, e2) = packed[:3].T, packed[3:8]
         f1, f2 = self._focal(i1), self._focal(i2)
         min_angle = np.radians(self.options.create_min_tri_angle_deg)
         err_px = self.options.filter_max_reproj_error
+        n = len(m)
         ok = (
-            (angle[: len(m)] > min_angle)
-            & (z1[: len(m)] > 0)
-            & (z2[: len(m)] > 0)
-            & (e1[: len(m)] * f1 < err_px)
-            & (e2[: len(m)] * f2 < err_px)
+            (angle[:n] > min_angle)
+            & (z1[:n] > 0)
+            & (z2[:n] > 0)
+            & (e1[:n] * f1 < err_px)
+            & (e2[:n] * f2 < err_px)
         )
-        for k in np.nonzero(ok)[0]:
-            self.rec.add_point3D(
-                X[k].astype(np.float64),
-                [(i1, int(m[k, 0])), (i2, int(m[k, 1]))],
-            )
+        sel = np.nonzero(ok)[0]
+        self._add_points_bulk(
+            X[sel].astype(np.float64),
+            np.full(len(sel), r1, np.int32), m[sel, 0],
+            np.full(len(sel), r2, np.int32), m[sel, 1],
+        )
         return int(ok.sum()) >= self.options.init_min_num_inliers // 2
 
-    # -- next image selection --------------------------------------------------
+    # ------------------------------------------------------------------
+    # next-image selection
+    # ------------------------------------------------------------------
     def find_next_images(self, max_images: int = 20) -> List[int]:
         """Rank unregistered images by visible-triangulated-point score.
 
@@ -374,43 +615,34 @@ class IncrementalMapper:
         correspondences touch an existing 3D point, weighted by spatial
         spread over a multi-level grid (reference: VisibilityPyramid,
         scene/visibility_pyramid.h:51; ObservationManager ranking).
+        Only images adjacent to the model can score > 0, so only those
+        are scanned.
         """
-        reg = set(self.registered)
         scores = []
-        for iid, im in self.cache.images.items():
-            if iid in reg:
+        for r in range(len(self._img_ids)):
+            if self._reg_mask[r]:
                 continue
+            iid = int(self._img_ids[r])
             if self.num_reg_trials.get(iid, 0) >= self.options.max_reg_trials:
                 continue
-            vis_feats = self._visible_point_features(iid)
+            if not self._reg_mask[self._neighbors[r]].any():
+                continue
+            _, img_rows, feats, edge_feat = self._graph[r]
+            sel = self._reg_mask[img_rows]
+            if not sel.any():
+                continue
+            g_other = self._kp_off[img_rows[sel]] + feats[sel]
+            has_pt = self._flat_pids[g_other] >= 0
+            vis_feats = np.unique(edge_feat[sel][has_pt])
             if len(vis_feats) == 0:
                 continue
-            score = self._pyramid_score(iid, vis_feats)
-            scores.append((score, iid))
+            scores.append((self._pyramid_score(r, vis_feats), iid))
         scores.sort(reverse=True)
         return [iid for _, iid in scores[:max_images]]
 
-    def _visible_point_features(self, image_id: int) -> np.ndarray:
-        """Feature indices of image whose correspondences see a 3D point."""
-        offsets, imgs, feats = self.cache.graph.find_correspondences_all(image_id)
-        if len(imgs) == 0:
-            return np.zeros(0, np.int64)
-        # vectorized: for each edge, does (other image, other feat) have a point?
-        has_pt = np.zeros(len(imgs), bool)
-        for oi in np.unique(imgs):
-            if oi not in set(self.registered):
-                continue
-            sel = imgs == oi
-            pids = self.rec.images[int(oi)].point3D_ids[feats[sel]]
-            has_pt[sel] = pids >= 0
-        # map edges back to features via offsets
-        edge_feat = np.repeat(np.arange(len(offsets) - 1), np.diff(offsets))
-        return np.unique(edge_feat[has_pt])
-
-    def _pyramid_score(self, image_id: int, feat_idx: np.ndarray) -> float:
-        im = self.cache.images[image_id]
-        cam = self.rec.cameras[im.camera_id]
-        xy = im.xys[feat_idx]
+    def _pyramid_score(self, row: int, feat_idx: np.ndarray) -> float:
+        cam = self.rec.cameras[int(self._cam_of_row[row])]
+        xy = self._flat_xys[self._kp_off[row] + feat_idx]
         score = 0.0
         for level in range(2, 7):
             g = 1 << level
@@ -420,250 +652,329 @@ class IncrementalMapper:
             score += occupied * (g * g)
         return score
 
-    # -- registration -----------------------------------------------------------
+    # ------------------------------------------------------------------
+    # registration
+    # ------------------------------------------------------------------
+    def _collect_2d3d(self, row: int) -> Tuple[np.ndarray, np.ndarray]:
+        """(feature_idx, pid) 2D-3D correspondence candidates, deduped."""
+        _, img_rows, feats, edge_feat = self._graph[row]
+        sel = self._reg_mask[img_rows]
+        if not sel.any():
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        g_other = self._kp_off[img_rows[sel]] + feats[sel]
+        pids = self._flat_pids[g_other]
+        f = edge_feat[sel]
+        m = pids >= 0
+        f, pids = f[m], pids[m]
+        key = f * (self._num_pts + 1) + pids
+        _, first = np.unique(key, return_index=True)
+        return f[first], pids[first]
+
     def register_next_image(self, image_id: int) -> bool:
         """2D-3D PnP registration (reference RegisterNextImage .cc:344)."""
-        self.num_reg_trials[image_id] = self.num_reg_trials.get(image_id, 0) + 1
-        im = self.cache.images[image_id]
-        offsets, imgs, feats = self.cache.graph.find_correspondences_all(image_id)
-        reg = set(self.registered)
+        return len(self.register_next_images([image_id])) == 1
 
-        # collect (feature, point3D) candidates, deduped per feature
-        corr_f, corr_p = [], []
-        seen_pairs: Set[Tuple[int, int]] = set()
-        edge_feat = np.repeat(np.arange(len(offsets) - 1), np.diff(offsets))
-        for e in range(len(imgs)):
-            oi = int(imgs[e])
-            if oi not in reg:
-                continue
-            pid = int(self.rec.images[oi].point3D_ids[int(feats[e])])
-            if pid < 0:
-                continue
-            f = int(edge_feat[e])
-            if (f, pid) in seen_pairs:
-                continue
-            seen_pairs.add((f, pid))
-            corr_f.append(f)
-            corr_p.append(pid)
-        if len(corr_f) < self.options.abs_pose_min_num_inliers:
-            return False
+    def register_next_images(self, candidates: Sequence[int]) -> List[int]:
+        """PnP-register a whole candidate batch with ONE vmapped device
+        call; per-candidate acceptance stays on host."""
+        cands = []
+        for iid in candidates:
+            self.num_reg_trials[iid] = self.num_reg_trials.get(iid, 0) + 1
+            f, pids = self._collect_2d3d(self._row_of[iid])
+            if len(f) >= self.options.abs_pose_min_num_inliers:
+                cands.append((iid, f, pids))
+        if not cands:
+            return []
 
-        corr_f = np.array(corr_f)
-        corr_p = np.array(corr_p)
-        X = np.stack([self.rec.points3D[p].xyz for p in corr_p]).astype(np.float32)
-        rays = self._rays(image_id)[corr_f].astype(np.float32)
-        cap = _bucket(len(corr_f))
-        focal = self._focal(image_id)
-        packed = np.asarray(_pnp_ransac(
-            self._next_key(),
-            jnp.asarray(self._pad(X, cap)),
-            jnp.asarray(self._pad(rays, cap)),
-            jnp.asarray(self._pad(np.ones(len(corr_f), bool), cap, fill=False)),
-            jnp.asarray(np.float32(self.options.abs_pose_max_error / focal)),
-        ))
-        pose, inliers = packed[:7], packed[7:] > 0.5
-        num_inl = int(inliers.sum())
-        if num_inl < self.options.abs_pose_min_num_inliers:
-            return False
-        if num_inl / len(corr_f) < self.options.abs_pose_min_inlier_ratio:
-            return False
+        cap = _bucket(max(len(f) for _, f, _ in cands))
+        K = len(cands)
+        K_b = _bucket(K, lo=1)
+        X = np.zeros((K_b, cap, 3), np.float32)
+        rays = np.zeros((K_b, cap, 2), np.float32)
+        valid = np.zeros((K_b, cap), bool)
+        errs = np.full(K_b, 1.0, np.float32)
+        for k, (iid, f, pids) in enumerate(cands):
+            r = self._row_of[iid]
+            n = len(f)
+            X[k, :n] = self._xyz[pids]
+            rays[k, :n] = self._flat_rays[self._kp_off[r] + f]
+            valid[k, :n] = True
+            errs[k] = self.options.abs_pose_max_error / self._focal_arr[r]
+        keys = jax.random.split(self._next_key(), K_b)
+        packed = np.asarray(_pnp_ransac_batch(
+            keys, jnp.asarray(X), jnp.asarray(rays), jnp.asarray(valid),
+            jnp.asarray(errs)))
 
-        self.rec.images[image_id].cam_from_world = np.asarray(pose, np.float64)
-        self.registered.append(image_id)
+        accepted: List[int] = []
+        for k, (iid, f, pids) in enumerate(cands):
+            pose, inliers = packed[k, :7], packed[k, 7:] > 0.5
+            n = len(f)
+            num_inl = int(inliers[:n].sum())
+            if num_inl < self.options.abs_pose_min_num_inliers:
+                continue
+            if num_inl / n < self.options.abs_pose_min_inlier_ratio:
+                continue
+            self._set_pose(iid, pose.astype(np.float64))
+            accepted.append(iid)
+            # extend tracks with the inlier 2D-3D matches (reference: the
+            # triangulator's Continue step covers these)
+            inl = inliers[:n]
+            live = self._track_len[pids] > 0
+            sel = inl & live
+            r = self._row_of[iid]
+            self._append_obs(
+                np.full(int(sel.sum()), r, np.int32),
+                f[sel].astype(np.int32), pids[sel])
+        return accepted
 
-        # extend tracks with the inlier 2D-3D matches (reference: the
-        # triangulator's Continue step covers these; we add them directly)
-        inl = np.asarray(inliers)[: len(corr_f)]
-        img_pids = self.rec.images[image_id].point3D_ids
-        for f, pid, ok in zip(corr_f, corr_p, inl):
-            if not ok or img_pids[f] >= 0:
-                continue
-            if pid not in self.rec.points3D:
-                continue
-            if any(ii == image_id for ii, _ in self.rec.points3D[pid].track):
-                continue
-            self.rec.points3D[pid].track.append((image_id, int(f)))
-            img_pids[f] = pid
-        return True
-
-    # -- triangulation ------------------------------------------------------------
+    # ------------------------------------------------------------------
+    # triangulation
+    # ------------------------------------------------------------------
     def triangulate_image(self, image_id: int) -> int:
-        """Create/continue tracks for a newly registered image.
+        return self.triangulate_images([image_id])
 
-        One batched device call triangulates every candidate (feature,
-        registered-correspondence) pair; acceptance and track bookkeeping
-        stay on host. Reference: IncrementalTriangulator Find/Create/Continue
+    def _classify_candidates(self, image_ids: Sequence[int]):
+        """Split each image's correspondence edges into continue vs create
+        candidates (vectorized host pass)."""
+        cont_r, cont_f, cont_p = [], [], []
+        cand_r, cand_f, cand_or, cand_of = [], [], [], []
+        for iid in image_ids:
+            r = self._row_of[iid]
+            _, img_rows, feats, edge_feat = self._graph[r]
+            sel = self._reg_mask[img_rows]
+            if not sel.any():
+                continue
+            f = edge_feat[sel]
+            orow = img_rows[sel]
+            ofeat = feats[sel]
+            free = self._flat_pids[self._kp_off[r] + f] < 0
+            pid_other = self._flat_pids[self._kp_off[orow] + ofeat]
+            cont = free & (pid_other >= 0)
+            cand = free & (pid_other < 0)
+            cont_r.append(np.full(int(cont.sum()), r, np.int64))
+            cont_f.append(f[cont])
+            cont_p.append(pid_other[cont])
+            cand_r.append(np.full(int(cand.sum()), r, np.int64))
+            cand_f.append(f[cand])
+            cand_or.append(orow[cand])
+            cand_of.append(ofeat[cand])
+
+        def cat(xs):
+            return np.concatenate(xs) if xs else np.zeros(0, np.int64)
+
+        return ((cat(cont_r), cat(cont_f), cat(cont_p)),
+                (cat(cand_r), cat(cand_f), cat(cand_or), cat(cand_of)))
+
+    def _np_reproj_err(self, img_rows: np.ndarray, g: np.ndarray,
+                       X: np.ndarray):
+        """Vectorized reprojection error (px, via mean focal) + depth."""
+        pc = _np_pose_apply(self._poses[img_rows], X)
+        z = pc[:, 2]
+        z_safe = np.where(np.abs(z) > 1e-9, z, 1e-9)
+        e = np.linalg.norm(pc[:, :2] / z_safe[:, None] - self._flat_rays[g],
+                           axis=-1)
+        return e * self._focal_arr[img_rows], z
+
+    def _continue_tracks(self, rows, feats, pids, max_error: float) -> int:
+        """Batched Continue: extend pids into (row, feat) where the
+        reprojection fits (reference incremental_triangulator.cc:538)."""
+        if len(rows) == 0:
+            return 0
+        g = self._kp_off[rows] + feats
+        # dedupe feature -> first pid (greedy, as reference iteration order)
+        _, first = np.unique(g, return_index=True)
+        rows, feats, pids, g = rows[first], feats[first], pids[first], g[first]
+        live = self._track_len[pids] > 0
+        rows, feats, pids, g = rows[live], feats[live], pids[live], g[live]
+        if len(rows) == 0:
+            return 0
+        err, z = self._np_reproj_err(rows, g, self._xyz[pids])
+        ok = (err < max_error) & (z > 0)
+        return self._append_obs(rows[ok].astype(np.int32),
+                                feats[ok].astype(np.int32), pids[ok])
+
+    def triangulate_images(self, image_ids: Sequence[int]) -> int:
+        """Create/continue tracks for newly registered images — ONE batched
+        device call triangulates every candidate pair from every image in
+        the round. Reference: IncrementalTriangulator Find/Create/Continue
         (sfm/incremental_triangulator.cc:437,478,538).
         """
-        im = self.cache.images[image_id]
-        img_pids = self.rec.images[image_id].point3D_ids
-        offsets, imgs, feats = self.cache.graph.find_correspondences_all(image_id)
-        edge_feat = np.repeat(np.arange(len(offsets) - 1), np.diff(offsets))
-
-        # --- vectorized candidate classification (was a Python loop over
-        # every correspondence edge — ~100ms/image at scale) --------------
-        reg_arr = np.fromiter(self.registered, np.int64,
-                              count=len(self.registered))
-        sel = np.isin(imgs, reg_arr)
-        f_arr = edge_feat[sel].astype(np.int64)
-        oi_arr = imgs[sel].astype(np.int64)
-        of_arr = feats[sel].astype(np.int64)
-        pid_arr = np.empty(len(oi_arr), np.int64)
-        for oi in np.unique(oi_arr):
-            m = oi_arr == oi
-            pid_arr[m] = self.rec.images[int(oi)].point3D_ids[of_arr[m]]
-        free = img_pids[f_arr] < 0
-        cont_mask = free & (pid_arr >= 0)
-        cand_mask = free & (pid_arr < 0)
-        cont_f = f_arr[cont_mask]
-        cont_p = pid_arr[cont_mask]
-        cand_f = list(f_arr[cand_mask])
-        cand_oi = list(oi_arr[cand_mask])
-        cand_of = list(of_arr[cand_mask])
-
+        (cont, cand) = self._classify_candidates(image_ids)
         n_new = 0
-        focal = self._focal(image_id)
-        pose_new = self._pose(image_id)
+        n_new += self._continue_tracks(
+            *cont, max_error=self.options.continue_max_reproj_error)
 
-        # Continue existing tracks (batched reprojection check)
-        if len(cont_f):
-            uniq = {}
-            for f, pid in zip(cont_f.tolist(), cont_p.tolist()):
-                uniq.setdefault(f, pid)
-            fs = np.array(list(uniq.keys()))
-            pids = np.array(list(uniq.values()))
-            pids = np.array([p for p in pids])
-            keep = np.array([p in self.rec.points3D for p in pids])
-            fs, pids = fs[keep], pids[keep]
-            if len(fs):
-                X = np.stack([self.rec.points3D[p].xyz for p in pids]).astype(np.float32)
-                cap = _bucket(len(fs))
-                ez = np.asarray(_reproj_errors(
-                    jnp.asarray(np.tile(pose_new, (cap, 1))),
-                    jnp.asarray(self._pad(self._rays(image_id)[fs].astype(np.float32), cap)),
-                    jnp.asarray(self._pad(X, cap)),
-                ))
-                e, z = ez[0], ez[1]
-                ok = (e[: len(fs)] * focal < self.options.continue_max_reproj_error) & (
-                    z[: len(fs)] > 0
-                )
-                for f, pid, o in zip(fs, pids, ok):
-                    if o and img_pids[f] < 0:
-                        if any(ii == image_id for ii, _ in self.rec.points3D[pid].track):
-                            continue
-                        self.rec.points3D[pid].track.append((image_id, int(f)))
-                        img_pids[f] = pid
-                        n_new += 1
+        cand_r, cand_f, cand_or, cand_of = cand
+        if len(cand_r) == 0:
+            return n_new
+        # canonical pair dedup: when several round images share edges (or a
+        # full retriangulation sweep runs), the same feature pair appears
+        # from both sides — keep one instance
+        ga = self._kp_off[cand_r] + cand_f
+        gb = self._kp_off[cand_or] + cand_of
+        lo, hi = np.minimum(ga, gb), np.maximum(ga, gb)
+        key = lo * (self._kp_off[-1] + 1) + hi
+        _, first = np.unique(key, return_index=True)
+        first = np.sort(first)
+        cand_r, cand_f, cand_or, cand_of = (
+            cand_r[first], cand_f[first], cand_or[first], cand_of[first])
+        K = len(cand_r)
+        cap = _bucket(K)
+        poses1 = self._pad(self._poses[cand_r].astype(np.float32), cap)
+        poses1[K:, 0] = 1.0
+        poses2 = self._pad(self._poses[cand_or].astype(np.float32), cap)
+        poses2[K:, 0] = 1.0
+        g1 = self._kp_off[cand_r] + cand_f
+        g2 = self._kp_off[cand_or] + cand_of
+        rays1 = self._pad(self._flat_rays[g1].astype(np.float32), cap)
+        rays2 = self._pad(self._flat_rays[g2].astype(np.float32), cap)
+        packed = np.asarray(_triangulate_pairs(
+            jnp.asarray(poses1), jnp.asarray(poses2),
+            jnp.asarray(rays1), jnp.asarray(rays2)))
+        X, (angle, z1, z2, e1, e2) = packed[:3].T, packed[3:8]
+        min_angle = np.radians(self.options.create_min_tri_angle_deg)
+        err_px = self.options.filter_max_reproj_error
+        ok = (
+            (angle[:K] > min_angle)
+            & (z1[:K] > 0)
+            & (z2[:K] > 0)
+            & (e1[:K] * self._focal_arr[cand_r] < err_px)
+            & (e2[:K] * self._focal_arr[cand_or] < err_px)
+        )
+        # Track building: candidate pairs that share features form ONE
+        # track (the reference builds tracks from transitive
+        # correspondences, incremental_triangulator.cc:478). Group the
+        # accepted pairs into connected components over their feature
+        # nodes, create one point per component from its best-angle pair,
+        # then Continue-extend every remaining feature of the component.
+        sel = np.nonzero(ok)[0]
+        if len(sel) == 0:
+            return n_new
+        from scipy.sparse import coo_matrix
+        from scipy.sparse.csgraph import connected_components
 
-        # Create new tracks (batched two-view triangulation of all candidates)
-        if cand_f:
-            cand_f = np.array(cand_f)
-            cand_oi = np.array(cand_oi)
-            cand_of = np.array(cand_of)
-            K = len(cand_f)
-            cap = _bucket(K)
-            poses_other = np.stack([self._pose(int(oi)) for oi in cand_oi]).astype(np.float32)
-            rays_other = np.stack(
-                [self._rays(int(oi))[int(of)] for oi, of in zip(cand_oi, cand_of)]
-            ).astype(np.float32)
-            packed = np.asarray(_triangulate_candidates(
-                jnp.asarray(pose_new.astype(np.float32)),
-                jnp.asarray(self._pad(poses_other, cap)),
-                jnp.asarray(self._pad(self._rays(image_id)[cand_f].astype(np.float32), cap)),
-                jnp.asarray(self._pad(rays_other, cap)),
-            ))
-            X, (angle, z1, z2, e1, e2) = packed[:3].T, packed[3:8]
-            min_angle = np.radians(self.options.create_min_tri_angle_deg)
-            err_px = self.options.filter_max_reproj_error
-            ok = (
-                (angle[:K] > min_angle)
-                & (z1[:K] > 0)
-                & (z2[:K] > 0)
-                & (e1[:K] * focal < err_px)
-                & (e2[:K] * np.array([self._focal(int(oi)) for oi in cand_oi]) < err_px)
-            )
-            # greedily create one track per feature from the best candidate
-            order = np.argsort(-angle[:K])
-            for k in order:
-                if not ok[k]:
-                    continue
-                f = int(cand_f[k])
-                oi, of = int(cand_oi[k]), int(cand_of[k])
-                if img_pids[f] >= 0:
-                    # track exists: try to extend with this correspondence
-                    pid = int(img_pids[f])
-                    if self.rec.images[oi].point3D_ids[of] < 0 and pid in self.rec.points3D:
-                        if not any(ii == oi for ii, _ in self.rec.points3D[pid].track):
-                            self.rec.points3D[pid].track.append((oi, of))
-                            self.rec.images[oi].point3D_ids[of] = pid
-                    continue
-                if self.rec.images[oi].point3D_ids[of] >= 0:
-                    continue
-                self.rec.add_point3D(X[k].astype(np.float64), [(image_id, f), (oi, of)])
-                n_new += 1
+        nodes = np.unique(np.concatenate([g1[sel], g2[sel]]))
+        a = np.searchsorted(nodes, g1[sel])
+        b = np.searchsorted(nodes, g2[sel])
+        adj = coo_matrix((np.ones(len(sel), np.int8), (a, b)),
+                         shape=(len(nodes), len(nodes)))
+        n_comp, labels = connected_components(adj, directed=False)
+        comp = labels[a]  # component of each accepted pair
+        order = np.lexsort((-angle[sel], comp))
+        comp_sorted = comp[order]
+        first = np.unique(comp_sorted, return_index=True)[1]
+        best = sel[order[first]]  # best-angle pair per component
+        pids = self._add_points_bulk(
+            X[best].astype(np.float64),
+            cand_r[best].astype(np.int32), cand_f[best],
+            cand_or[best].astype(np.int32), cand_of[best])
+        n_new += len(pids)
+        # extend all other component features into the new point
+        comp_pid = np.full(n_comp, -1, np.int64)
+        comp_pid[comp[order[first]]] = pids
+        node_pid = comp_pid[labels]
+        ext = node_pid >= 0
+        ext &= self._flat_pids[nodes] < 0  # skip the just-assigned pairs
+        g_ext = nodes[ext]
+        rows_ext = np.searchsorted(self._kp_off, g_ext, side="right") - 1
+        feats_ext = g_ext - self._kp_off[rows_ext]
+        n_new += self._continue_tracks(
+            rows_ext, feats_ext, node_pid[ext],
+            max_error=self.options.continue_max_reproj_error)
         return n_new
 
-    # -- bundle adjustment ---------------------------------------------------------
-    def _build_ba_problem(self, image_ids: List[int], fix_extra_images: bool = True,
+    # ------------------------------------------------------------------
+    # bundle adjustment
+    # ------------------------------------------------------------------
+    def _find_local_bundle(self, image_ids: Sequence[int]) -> List[int]:
+        """Most-connected registered images by shared 3D points
+        (reference FindLocalBundle .cc:1044), unioned over the round."""
+        rows = [self._row_of[i] for i in image_ids]
+        offsets, rows_sorted = self._point_csr()
+        shared = np.zeros(len(self._img_ids), np.int64)
+        pid_set: List[np.ndarray] = []
+        for r in rows:
+            p = self._flat_pids[self._kp_off[r]: self._kp_off[r + 1]]
+            pid_set.append(p[p >= 0])
+        if not pid_set:
+            return []
+        pids = np.unique(np.concatenate(pid_set))
+        if len(pids) == 0:
+            return []
+        chunks = [rows_sorted[offsets[p]: offsets[p + 1]] for p in pids]
+        obs = np.concatenate(chunks) if chunks else np.zeros(0, np.int64)
+        np.add.at(shared, self._obs_img_row[obs], 1)
+        for r in rows:
+            shared[r] = 0
+        ranked = np.argsort(-shared, kind="stable")
+        budget = max(self.options.local_ba_num_images - 1, len(image_ids))
+        out = []
+        for r in ranked[:budget]:
+            if shared[r] > 0:
+                out.append(int(self._img_ids[r]))
+        return out
+
+    def _build_ba_problem(self, image_ids: Sequence[int],
+                          fix_extra_images: bool = True,
                           refine_intrinsics: bool = False):
         """Assemble a BAProblem for the given variable images (+ fixed
-        observers of their points)."""
-        var = list(image_ids)
-        var_set = set(var)
-        pids: Set[int] = set()
-        for iid in var:
-            for pid in self.rec.images[iid].point3D_ids:
-                if pid >= 0:
-                    pids.add(int(pid))
-        pids = sorted(pids)
-        if not pids:
+        observers of their points). Pure array gathers, no Python loops
+        over tracks."""
+        var_rows = np.array([self._row_of[i] for i in image_ids], np.int64)
+        pid_chunks = [
+            self._flat_pids[self._kp_off[r]: self._kp_off[r + 1]]
+            for r in var_rows]
+        pids = np.unique(np.concatenate(pid_chunks)) if pid_chunks else \
+            np.zeros(0, np.int64)
+        pids = pids[pids >= 0]
+        if len(pids) == 0:
             return None, None, None, None
 
-        extra: Set[int] = set()
-        for pid in pids:
-            for (iid, _) in self.rec.points3D[pid].track:
-                if iid not in var_set:
-                    extra.add(iid)
-        all_imgs = var + sorted(extra)
-        img_index = {iid: k for k, iid in enumerate(all_imgs)}
-        pid_index = {pid: k for k, pid in enumerate(pids)}
-        cams = sorted({self.cache.images[iid].camera_id for iid in all_imgs})
+        offsets, rows_sorted = self._point_csr()
+        cnt = offsets[pids + 1] - offsets[pids]
+        obs = np.repeat(offsets[pids], cnt) + (
+            np.arange(int(cnt.sum())) - np.repeat(
+                np.cumsum(cnt) - cnt, cnt))
+        obs = rows_sorted[obs]
+        obs_row = self._obs_img_row[obs]
+        obs_feat = self._obs_feat[obs]
+        obs_pid_raw = self._obs_pid[obs]
+
+        all_rows = np.unique(obs_row)
+        var_set = set(var_rows.tolist())
+        # variable rows first (gauge masks index them directly)
+        is_var = np.isin(all_rows, var_rows)
+        all_rows = np.concatenate([all_rows[is_var], all_rows[~is_var]])
+        row_to_idx = np.zeros(len(self._img_ids), np.int64)
+        row_to_idx[all_rows] = np.arange(len(all_rows))
+        pid_to_idx_map = np.searchsorted(pids, obs_pid_raw)
+
+        cams = sorted({int(self._cam_of_row[r]) for r in all_rows})
         cam_index = {cid: k for k, cid in enumerate(cams)}
+        obs_cam = np.array([cam_index[int(c)]
+                            for c in self._cam_of_row[obs_row]], np.int32)
 
-        obs_pose, obs_cam, obs_pt, obs_xy = [], [], [], []
-        for pid in pids:
-            for (iid, f) in self.rec.points3D[pid].track:
-                obs_pose.append(img_index[iid])
-                obs_cam.append(cam_index[self.cache.images[iid].camera_id])
-                obs_pt.append(pid_index[pid])
-                obs_xy.append(self.cache.images[iid].xys[f])
-
-        poses = np.stack([self._pose(iid) for iid in all_imgs])
-        points = np.stack([self.rec.points3D[pid].xyz for pid in pids]).astype(np.float32)
+        n_obs = len(obs)
+        cap = _bucket(n_obs)
+        P_b = _bucket(len(all_rows), lo=8)
+        M_b = _bucket(len(pids), lo=64)
+        poses_p = np.tile(np.array([1, 0, 0, 0, 0, 0, 0], np.float32),
+                          (P_b, 1))
+        poses_p[: len(all_rows)] = self._poses[all_rows].astype(np.float32)
+        points_p = np.zeros((M_b, 3), np.float32)
+        points_p[: len(pids)] = self._xyz[pids].astype(np.float32)
         cam_params = np.stack(
             [self.rec.cameras[cid].padded_params() for cid in cams]
         ).astype(np.float32)
-
-        # bucket EVERY axis (obs, poses, points) to powers of two — pose and
-        # point counts change with every registered image, and an unpadded
-        # problem would force a fresh XLA compile per model size
-        n_obs = len(obs_xy)
-        cap = _bucket(n_obs)
-        P_b = _bucket(len(all_imgs), lo=8)
-        M_b = _bucket(len(pids), lo=64)
-        identity_pose = np.array([1, 0, 0, 0, 0, 0, 0], np.float32)
-        poses_p = np.tile(identity_pose, (P_b, 1))
-        poses_p[: len(all_imgs)] = poses
-        points_p = np.zeros((M_b, 3), np.float32)
-        points_p[: len(pids)] = points
+        g = self._kp_off[obs_row] + obs_feat
         problem = ba.make_problem(
             poses_p,
             cam_params,
             points_p,
-            self._pad(np.array(obs_pose, np.int32), cap),
-            self._pad(np.array(obs_cam, np.int32), cap),
-            self._pad(np.array(obs_pt, np.int32), cap),
-            self._pad(np.stack(obs_xy).astype(np.float32), cap),
+            self._pad(row_to_idx[obs_row].astype(np.int32), cap),
+            self._pad(obs_cam, cap),
+            self._pad(pid_to_idx_map.astype(np.int32), cap),
+            self._pad(self._flat_xys[g].astype(np.float32), cap),
             obs_weight=self._pad(np.ones(n_obs, np.float32), cap),
             refine_intrinsics=refine_intrinsics,
             refine_extra_params=refine_intrinsics,
@@ -671,14 +982,16 @@ class IncrementalMapper:
         )
         # freeze non-variable images + all padding rows
         pose_mask = np.zeros((P_b, 6), np.float32)
-        pose_mask[: len(all_imgs)] = 1.0
+        n_var = int(is_var.sum()) if not fix_extra_images else len(all_rows)
         if fix_extra_images:
-            for iid in extra:
-                pose_mask[img_index[iid]] = 0.0
+            pose_mask[: int(is_var.sum())] = 1.0
+        else:
+            pose_mask[: len(all_rows)] = 1.0
         point_mask = np.zeros((M_b, 3), np.float32)
         point_mask[: len(pids)] = 1.0
         problem = problem._replace(pose_mask=jnp.asarray(pose_mask),
                                    point_mask=jnp.asarray(point_mask))
+        all_imgs = [int(self._img_ids[r]) for r in all_rows]
         return problem, all_imgs, pids, cams
 
     def _apply_ba_result(self, state, all_imgs, pids, cams,
@@ -689,24 +1002,31 @@ class IncrementalMapper:
         poses = flat[: P * 7].reshape(P, 7)
         cam_params = flat[P * 7: P * 7 + C * 12].reshape(C, 12)
         points = flat[P * 7 + C * 12:].reshape(-1, 3)
-        for k, iid in enumerate(all_imgs):
-            self.rec.images[iid].cam_from_world = poses[k]
-        for k, pid in enumerate(pids):
-            if pid in self.rec.points3D:
-                self.rec.points3D[pid].xyz = points[k]
+        rows = np.array([self._row_of[i] for i in all_imgs], np.int64)
+        self._poses[rows] = poses[: len(rows)]
+        live = self._track_len[pids] > 0
+        self._xyz[pids[live]] = points[: len(pids)][live]
         if update_intrinsics:
             for k, cid in enumerate(cams):
-                n = camera_models.NUM_PARAMS[camera_models.CameraModelId(self.rec.cameras[cid].model_id)]
+                n = camera_models.NUM_PARAMS[
+                    camera_models.CameraModelId(self.rec.cameras[cid].model_id)]
                 self.rec.cameras[cid].params = cam_params[k][:n]
 
-    def adjust_local_bundle(self, image_id: int, ba_options: Optional[ba.BAOptions] = None):
-        """BA over the most-connected local bundle (reference .cc:572,1044)."""
-        local = self._find_local_bundle(image_id)
-        problem, all_imgs, pids, cams = self._build_ba_problem([image_id] + local)
+    def adjust_local_bundle(self, image_ids,
+                            ba_options: Optional[ba.BAOptions] = None):
+        """BA over the most-connected local bundle (reference .cc:572,1044).
+
+        `image_ids` may be one id or the round's list."""
+        if isinstance(image_ids, (int, np.integer)):
+            image_ids = [int(image_ids)]
+        local = self._find_local_bundle(image_ids)
+        problem, all_imgs, pids, cams = self._build_ba_problem(
+            list(image_ids) + local)
         if problem is None:
             return []
         if ba_options is None:
-            cam0 = self.rec.cameras[self.cache.images[image_id].camera_id]
+            cam0 = self.rec.cameras[int(self._cam_of_row[
+                self._row_of[image_ids[0]]])]
             ba_options = ba.BAOptions(
                 max_iterations=10,
                 cg_iterations=15,
@@ -718,18 +1038,6 @@ class IncrementalMapper:
         state = ba.solve(problem, ba_options)
         self._apply_ba_result(state, all_imgs, pids, cams)
         return pids
-
-    def _find_local_bundle(self, image_id: int) -> List[int]:
-        """Most-connected registered images by shared 3D points."""
-        shared: Dict[int, int] = {}
-        for pid in self.rec.images[image_id].point3D_ids:
-            if pid < 0:
-                continue
-            for (iid, _) in self.rec.points3D[int(pid)].track:
-                if iid != image_id:
-                    shared[iid] = shared.get(iid, 0) + 1
-        ranked = sorted(shared.items(), key=lambda kv: -kv[1])
-        return [iid for iid, _ in ranked[: self.options.local_ba_num_images - 1]]
 
     def adjust_global_bundle(self, refine_intrinsics: bool = False,
                              ba_options: Optional[ba.BAOptions] = None):
@@ -748,7 +1056,8 @@ class IncrementalMapper:
             pose_mask[1, 3] = 0.0
         problem = problem._replace(pose_mask=jnp.asarray(pose_mask))
         if ba_options is None:
-            cam0 = self.rec.cameras[self.cache.images[self.registered[0]].camera_id]
+            cam0 = self.rec.cameras[int(self._cam_of_row[
+                self._row_of[self.registered[0]]])]
             ba_options = ba.BAOptions(
                 max_iterations=30,
                 cg_iterations=25,
@@ -758,117 +1067,158 @@ class IncrementalMapper:
                 refine_intrinsics=refine_intrinsics,
             )
         state = ba.solve(problem, ba_options)
-        self._apply_ba_result(state, all_imgs, pids, cams, update_intrinsics=refine_intrinsics)
+        self._apply_ba_result(state, all_imgs, pids, cams,
+                              update_intrinsics=refine_intrinsics)
         if refine_intrinsics:
             self.invalidate_focal_cache()
 
-    # -- filtering -------------------------------------------------------------
+    # ------------------------------------------------------------------
+    # filtering
+    # ------------------------------------------------------------------
     def filter_points(self, pids=None) -> int:
         """Drop bad observations/points (reference ObservationManager
         FilterPoints3D: reproj error, tri angle, negative depth).
 
-        `pids` restricts filtering to a subset (reference: local filtering
-        of just-modified points after local BA) — the full pass is O(all
-        observations) host work and only needed in global refinement.
+        Fully vectorized over the flat observation tableau; `pids`
+        restricts the pass to a subset (local filtering after local BA).
         """
+        offsets, rows_sorted = self._point_csr()
         if pids is None:
-            items = list(self.rec.points3D.items())
+            pids = np.nonzero(self._track_len[: self._num_pts] > 0)[0]
         else:
-            items = [(pid, self.rec.points3D[pid]) for pid in pids
-                     if pid in self.rec.points3D]
-        pose_cache = {iid: self._pose(iid) for iid in self.registered}
-        rays_cache = {iid: self._rays(iid) for iid in self.registered}
-        obs_pose, obs_rays, obs_X, obs_pid, obs_img, obs_f = [], [], [], [], [], []
-        for pid, pt in items:
-            for (iid, f) in pt.track:
-                obs_pose.append(pose_cache[iid])
-                obs_rays.append(rays_cache[iid][f])
-                obs_X.append(pt.xyz)
-                obs_pid.append(pid)
-                obs_img.append(iid)
-                obs_f.append(f)
-        if not obs_pid:
+            pids = np.asarray(pids, np.int64)
+            pids = pids[(pids >= 0) & (self._track_len[pids] > 0)]
+        if len(pids) == 0:
             return 0
-        n = len(obs_pid)
-        cap = _bucket(n)
-        ez = np.asarray(_reproj_errors(
-            jnp.asarray(self._pad(np.stack(obs_pose).astype(np.float32), cap)),
-            jnp.asarray(self._pad(np.stack(obs_rays).astype(np.float32), cap)),
-            jnp.asarray(self._pad(np.stack(obs_X).astype(np.float32), cap)),
-        ))
-        e, z = ez[0], ez[1]
-        focals = np.array([self._focal(iid) for iid in obs_img])
-        bad = (e[:n] * focals > self.options.filter_max_reproj_error) | (z[:n] <= 0)
+        cnt = offsets[pids + 1] - offsets[pids]
+        obs = np.repeat(offsets[pids], cnt) + (
+            np.arange(int(cnt.sum())) - np.repeat(np.cumsum(cnt) - cnt, cnt))
+        obs = rows_sorted[obs]
 
-        num_filtered = 0
-        # drop bad observations
-        for k in np.nonzero(bad)[0]:
-            pid, iid, f = obs_pid[k], obs_img[k], obs_f[k]
-            pt = self.rec.points3D.get(pid)
-            if pt is None:
-                continue
-            pt.track = [(ii, ff) for (ii, ff) in pt.track if not (ii == iid and ff == f)]
-            if self.rec.images[iid].point3D_ids[f] == pid:
-                self.rec.images[iid].point3D_ids[f] = -1
-            num_filtered += 1
+        img_rows = self._obs_img_row[obs]
+        g = self._kp_off[img_rows] + self._obs_feat[obs]
+        X = self._xyz[self._obs_pid[obs]]
+        err, z = self._np_reproj_err(img_rows, g, X)
+        bad = (err > self.options.filter_max_reproj_error) | (z <= 0)
+        num_filtered = int(bad.sum())
+        self._remove_obs(obs[bad])
 
-        # drop short tracks and low-angle points (pure-numpy angle check;
-        # projection centers computed host-side — a device round-trip per
-        # image costs ~65ms through the tunnel)
-        def np_center(pose):
-            w, x, y, z = pose[:4] / np.linalg.norm(pose[:4])
-            R = np.array([
-                [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
-                [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
-                [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
-            ])
-            return -R.T @ pose[4:7]
+        # short tracks die
+        short = pids[self._track_len[pids] < self.options.min_track_len]
+        self._delete_points(short)
+        num_filtered += len(short)
 
-        centers_cache: Dict[int, np.ndarray] = {
-            iid: np_center(pose_cache[iid]) for iid in self.registered
-        }
-
-        # vectorized max-pairwise-triangulation-angle test: points padded
-        # to a common track capacity, one numpy einsum batch
-        to_delete = []
+        # low max-pairwise-triangulation-angle points die. Sample up to 16
+        # track entries per point (exact for tracks <= 16; a conservative
+        # spread sample above, where the test passes anyway).
+        offsets, rows_sorted = self._point_csr()
+        live = pids[self._track_len[pids] >= self.options.min_track_len]
+        if len(live) == 0:
+            return num_filtered
+        cnt = (offsets[live + 1] - offsets[live]).astype(np.int64)
+        T = 16
+        take = np.minimum(cnt, T)
+        # sample indices into each track: consecutive when the track fits,
+        # evenly spaced when longer than the sample width
+        j = np.arange(T)
+        step = np.where(cnt[:, None] <= T, j[None, :],
+                        (j[None, :] * cnt[:, None]) // T)
+        idx = offsets[live][:, None] + np.minimum(step, cnt[:, None] - 1)
+        mask = j[None, :] < take[:, None]
+        obs_idx = rows_sorted[np.minimum(idx, len(rows_sorted) - 1)]
+        centers = _np_projection_center(
+            self._poses[self._obs_img_row[obs_idx].reshape(-1)]
+        ).reshape(len(live), T, 3)
+        Xl = self._xyz[live]
+        rays = Xl[:, None, :] - centers  # (n, T, 3)
+        ray2 = np.sum(rays * rays, -1)
         min_angle = np.radians(self.options.filter_min_tri_angle_deg)
-        live = []
-        for pid, pt in items:
-            if pid not in self.rec.points3D:
-                continue
-            if len(pt.track) < self.options.min_track_len:
-                to_delete.append(pid)
-            else:
-                live.append((pid, pt))
-        if live:
-            T = max(len(pt.track) for _, pt in live)
-            npnt = len(live)
-            centers = np.zeros((npnt, T, 3))
-            cmask = np.zeros((npnt, T), bool)
-            X = np.zeros((npnt, 3))
-            for k, (pid, pt) in enumerate(live):
-                for j, (iid, _) in enumerate(pt.track):
-                    centers[k, j] = centers_cache[iid]
-                cmask[k, : len(pt.track)] = True
-                X[k] = pt.xyz
-            rays = X[:, None, :] - centers  # (N, T, 3)
-            ray2 = np.sum(rays * rays, -1)
-            base2 = np.sum((centers[:, :, None, :] - centers[:, None, :, :]) ** 2, -1)
-            denom = 2.0 * np.sqrt(np.maximum(
-                ray2[:, :, None] * ray2[:, None, :], 1e-24))
-            cosang = np.clip(
-                (ray2[:, :, None] + ray2[:, None, :] - base2) / denom, -1, 1)
+        cos_thresh = np.cos(min_angle)
+        # max pairwise angle >= threshold <=> some pair has angle above it;
+        # chunk the (n, T, T) pairwise test to bound memory
+        to_delete = []
+        for s in range(0, len(live), 16384):
+            e = min(s + 16384, len(live))
+            c = centers[s:e]
+            r2 = ray2[s:e]
+            m = mask[s:e]
+            base2 = np.sum((c[:, :, None, :] - c[:, None, :, :]) ** 2, -1)
+            denom = 2.0 * np.sqrt(np.maximum(r2[:, :, None] * r2[:, None, :],
+                                             1e-24))
+            cosang = np.clip((r2[:, :, None] + r2[:, None, :] - base2) / denom,
+                             -1, 1)
             ang = np.arccos(cosang)
             ang = np.minimum(ang, np.pi - ang)
-            pair_ok = cmask[:, :, None] & cmask[:, None, :]
+            pair_ok = m[:, :, None] & m[:, None, :]
             ang = np.where(pair_ok, ang, 0.0)
             ii = np.arange(T)
             ang[:, ii, ii] = 0.0
-            max_ang = ang.reshape(npnt, -1).max(1)
-            for k, (pid, pt) in enumerate(live):
-                if max_ang[k] < min_angle:
-                    to_delete.append(pid)
-        for pid in to_delete:
-            self.rec.delete_point3D(pid)
-            num_filtered += 1
+            max_ang = ang.reshape(e - s, -1).max(1)
+            to_delete.append(live[s:e][max_ang < min_angle])
+        dead = np.concatenate(to_delete)
+        self._delete_points(dead)
+        num_filtered += len(dead)
         return num_filtered
+
+    # ------------------------------------------------------------------
+    # import/export
+    # ------------------------------------------------------------------
+    def seed_from_model(self, model: Reconstruction) -> bool:
+        """Adopt poses/intrinsics/points from an existing reconstruction
+        (resume path; reference RunMapper --input_path, exe/sfm.cc:230)."""
+        for iid, im in model.images.items():
+            if iid in self._row_of and im.registered:
+                self._set_pose(iid, np.asarray(im.cam_from_world, np.float64))
+        for cid, cam in model.cameras.items():
+            if cid in self.rec.cameras:
+                self.rec.cameras[cid].params = np.asarray(cam.params,
+                                                          np.float64)
+        # refined intrinsics invalidate the DB-derived rays/focals
+        self.invalidate_focal_cache()
+        for pid, pt in model.points3D.items():
+            track = [(iid, p2d) for (iid, p2d) in pt.track
+                     if iid in self._row_of
+                     and p2d < len(self.rec.images[iid].point3D_ids)
+                     and self.rec.images[iid].point3D_ids[p2d] < 0]
+            if len(track) >= 2:
+                self.add_point(pt.xyz, track, color=pt.color)
+        return len(self.registered) >= 2
+
+    def finalize(self) -> Reconstruction:
+        """Materialize the flat store into the interchange Reconstruction.
+
+        Non-destructive: the mapper keeps working after finalize (model
+        snapshots call this mid-run), so the internal store is untouched
+        and the returned images carry remapped COPIES of the pid table.
+        """
+        rec = self.rec
+        rec.points3D.clear()
+        rec._next_point3D_id = 1
+        offsets, rows_sorted = self._point_csr()
+        alive = np.nonzero(self._track_len[: self._num_pts] > 0)[0]
+        remap = np.full(max(self._num_pts, 1), -1, np.int64)
+        obs_img = self._obs_img_row
+        obs_feat = self._obs_feat
+        img_ids = self._img_ids
+        for p in alive:
+            track_rows = rows_sorted[offsets[p]: offsets[p + 1]]
+            track = [(int(img_ids[obs_img[t]]), int(obs_feat[t]))
+                     for t in track_rows]
+            ext = rec._next_point3D_id
+            rec._next_point3D_id += 1
+            rec.points3D[ext] = Point3D(
+                xyz=self._xyz[p].copy(),
+                color=self._color[p].copy(),
+                error=-1.0,
+                track=track,
+            )
+            remap[p] = ext
+        for k, iid in enumerate(img_ids):
+            im = rec.images[int(iid)]
+            view = self._flat_pids[self._kp_off[k]: self._kp_off[k + 1]]
+            im.point3D_ids = np.where(view >= 0, remap[np.maximum(view, 0)],
+                                      -1)
+            if self._reg_mask[k]:
+                im.cam_from_world = np.array(self._poses[k], np.float64,
+                                             copy=True)
+        return rec

@@ -35,22 +35,7 @@ def _mapper_with_poses(database: Database, rec: Reconstruction,
     """Build a mapper whose state mirrors an existing reconstruction."""
     cache = DatabaseCache.create(database, min_num_matches=min_num_matches)
     mapper = IncrementalMapper(cache, options, seed=seed)
-    for iid, im in rec.images.items():
-        if iid in mapper.rec.images and im.registered:
-            mapper.rec.images[iid].cam_from_world = np.asarray(
-                im.cam_from_world, np.float64)
-            mapper.registered.append(iid)
-    # carry over intrinsics
-    for cid, cam in rec.cameras.items():
-        if cid in mapper.rec.cameras:
-            mapper.rec.cameras[cid].params = np.asarray(cam.params, np.float64)
-    # carry existing points (optional resume)
-    for pid, pt in rec.points3D.items():
-        track = [(iid, p2d) for (iid, p2d) in pt.track
-                 if iid in mapper.rec.images
-                 and len(mapper.rec.images[iid].point3D_ids) > p2d]
-        if len(track) >= 2:
-            mapper.rec.add_point3D(pt.xyz, track, color=pt.color)
+    mapper.seed_from_model(rec)
     return mapper
 
 
@@ -61,24 +46,24 @@ def triangulate_points(database: Database, rec: Reconstruction,
     """Triangulate all matches against KNOWN poses (reference:
     RunPointTriangulator / TriangulateReconstruction)."""
     mapper = _mapper_with_poses(database, rec, options, seed=seed)
-    for iid in list(mapper.registered):
-        n = mapper.triangulate_image(iid)
-        logger.info("triangulated image %d: +%d points", iid, n)
-    if refine and mapper.rec.points3D:
+    n = mapper.triangulate_images(list(mapper.registered))
+    logger.info("triangulated %d images: +%d observations",
+                len(mapper.registered), n)
+    if refine and mapper.num_points3D():
         # points-only global BA: freeze every pose
         import jax.numpy as jnp
 
         problem, all_imgs, pids, cams = mapper._build_ba_problem(
             list(mapper.registered), fix_extra_images=True)
         if problem is not None:
-            pose_mask = np.zeros((len(all_imgs), 6), np.float32)
+            pose_mask = np.zeros(problem.pose_mask.shape, np.float32)
             problem = problem._replace(pose_mask=jnp.asarray(pose_mask))
             from colmap_tpu.estimators import bundle_adjustment as ba
 
             state = ba.solve(problem, ba.BAOptions(max_iterations=10))
             mapper._apply_ba_result(state, all_imgs, pids, cams)
     mapper.filter_points()
-    return mapper.rec
+    return mapper.finalize()
 
 
 def register_images(database: Database, rec: Reconstruction,
@@ -87,12 +72,12 @@ def register_images(database: Database, rec: Reconstruction,
     """Register currently unregistered images against an existing model
     WITHOUT changing the model (reference: RunImageRegistrator)."""
     mapper = _mapper_with_poses(database, rec, options, seed=seed)
-    for iid in sorted(mapper.rec.images):
-        if mapper.rec.images[iid].registered:
-            continue
-        if mapper.register_next_image(iid):
-            logger.info("registered image %d", iid)
-    return mapper.rec
+    todo = [iid for iid in sorted(mapper.rec.images)
+            if not mapper.rec.images[iid].registered]
+    if todo:
+        accepted = mapper.register_next_images(todo)
+        logger.info("registered %d of %d images", len(accepted), len(todo))
+    return mapper.finalize()
 
 
 def filter_points(rec: Reconstruction, max_reproj_error: float = 4.0,
