@@ -154,10 +154,12 @@ class IncrementalPipeline:
                     self.next_image_callback(iid)
             mapper.triangulate_images(accepted)
             local_pids = mapper.adjust_local_bundle(accepted)
-            # local filtering: only the points touched by the local bundle
-            # (reference: FilterPoints3DInImages after local BA; the full
+            # complete + merge the locally-adjusted tracks, then filter
+            # only those (reference: IterativeLocalRefinement runs
+            # CompleteAndMergeTracks + FilterPoints3DInImages; the full
             # pass runs in global refinement)
-            mapper.filter_points(pids=local_pids)
+            touched = mapper.complete_and_merge_tracks(local_pids)
+            mapper.filter_points(pids=touched)
             last_snapshot = self._maybe_snapshot(mapper, last_snapshot)
 
             n_img = len(mapper.registered)
@@ -185,6 +187,7 @@ class IncrementalPipeline:
             n_new = mapper.triangulate_images(list(mapper.registered))
             if n_new:
                 logger.info("retriangulation added %d observations", n_new)
+            mapper.complete_and_merge_tracks()
         mapper.adjust_global_bundle(
             refine_intrinsics=self.options.ba_refine_focal_length and n_img >= 8)
         mapper.filter_points()

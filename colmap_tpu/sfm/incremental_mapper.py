@@ -793,6 +793,194 @@ class IncrementalMapper:
         return self._append_obs(rows[ok].astype(np.int32),
                                 feats[ok].astype(np.int32), pids[ok])
 
+    def _edges_of_obs(self, rows: np.ndarray, feats: np.ndarray):
+        """All correspondence-graph edges of the given (row, feat) queries.
+
+        Returns (query_idx, other_row, other_feat) — vectorized slicing of
+        the per-image CSR, grouped by image.
+        """
+        out_q, out_or, out_of = [], [], []
+        order = np.argsort(rows, kind="stable")
+        rows_s = rows[order]
+        bounds = np.searchsorted(rows_s, np.unique(rows_s))
+        bounds = np.append(bounds, len(rows_s))
+        for k in range(len(bounds) - 1):
+            sel = order[bounds[k]: bounds[k + 1]]
+            r = int(rows[sel[0]])
+            offsets, img_rows, feats_all, _ = self._graph[r]
+            f = feats[sel]
+            c0, c1 = offsets[f], offsets[f + 1]
+            cnt = c1 - c0
+            tot = int(cnt.sum())
+            if tot == 0:
+                continue
+            e = np.repeat(c0, cnt) + (np.arange(tot)
+                                      - np.repeat(np.cumsum(cnt) - cnt, cnt))
+            out_q.append(np.repeat(sel, cnt))
+            out_or.append(img_rows[e])
+            out_of.append(feats_all[e])
+
+        def cat(xs):
+            return np.concatenate(xs) if xs else np.zeros(0, np.int64)
+
+        return cat(out_q), cat(out_or), cat(out_of)
+
+    def _obs_of_points(self, pids: np.ndarray):
+        """Alive observation rows of the given points (via the CSR)."""
+        offsets, rows_sorted = self._point_csr()
+        cnt = offsets[pids + 1] - offsets[pids]
+        tot = int(cnt.sum())
+        obs = np.repeat(offsets[pids], cnt) + (
+            np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt))
+        return rows_sorted[obs]
+
+    def _live_pids(self, pids=None) -> np.ndarray:
+        if pids is None:
+            return np.nonzero(self._track_len[: self._num_pts] > 0)[0]
+        pids = np.unique(np.asarray(pids, np.int64))
+        safe = np.clip(pids, 0, len(self._track_len) - 1)
+        return pids[(pids >= 0) & (pids < self._num_pts)
+                    & (self._track_len[safe] > 0)]
+
+    def complete_tracks(self, pids=None, max_transitivity: int = 3) -> int:
+        """Extend tracks into already-registered images along correspondence
+        edges, breadth-first (reference: IncrementalTriangulator::
+        CompleteTracks, incremental_triangulator.h:112, .cc Complete)."""
+        pids = self._live_pids(pids)
+        if len(pids) == 0:
+            return 0
+        obs = self._obs_of_points(pids)
+        frontier_rows = self._obs_img_row[obs].astype(np.int64)
+        frontier_feats = self._obs_feat[obs].astype(np.int64)
+        frontier_pids = self._obs_pid[obs]
+        n_total = 0
+        for _ in range(max_transitivity):
+            if len(frontier_rows) == 0:
+                break
+            q, orow, ofeat = self._edges_of_obs(frontier_rows, frontier_feats)
+            if len(q) == 0:
+                break
+            mask = self._reg_mask[orow]
+            mask &= self._flat_pids[self._kp_off[orow] + ofeat] < 0
+            q, orow, ofeat = q[mask], orow[mask], ofeat[mask]
+            before = self._num_obs
+            self._continue_tracks(
+                orow, ofeat, frontier_pids[q],
+                max_error=self.options.complete_max_reproj_error)
+            n_added = self._num_obs - before
+            n_total += n_added
+            s = slice(before, self._num_obs)
+            frontier_rows = self._obs_img_row[s].astype(np.int64)
+            frontier_feats = self._obs_feat[s].astype(np.int64)
+            frontier_pids = self._obs_pid[s]
+        return n_total
+
+    def merge_tracks(self, pids=None) -> int:
+        """Merge pairs of points linked by a correspondence edge when the
+        track-length-weighted merged point reprojects within threshold in
+        EVERY observation of both tracks (reference: IncrementalTriangulator
+        ::MergeTracks, incremental_triangulator.h:105, .cc TryMergeTracks).
+        Returns the number of points removed by merging."""
+        pids = self._live_pids(pids)
+        if len(pids) == 0:
+            return 0
+        obs = self._obs_of_points(pids)
+        rows = self._obs_img_row[obs].astype(np.int64)
+        feats = self._obs_feat[obs].astype(np.int64)
+        obs_pids = self._obs_pid[obs]
+        q, orow, ofeat = self._edges_of_obs(rows, feats)
+        if len(q) == 0:
+            return 0
+        pid2 = self._flat_pids[self._kp_off[orow] + ofeat]
+        pid1 = obs_pids[q]
+        mask = self._reg_mask[orow] & (pid2 >= 0) & (pid2 != pid1)
+        if not mask.any():
+            return 0
+        p1 = np.minimum(pid1[mask], pid2[mask])
+        p2 = np.maximum(pid1[mask], pid2[mask])
+        key = p1 * (self._num_pts + 1) + p2
+        _, first = np.unique(key, return_index=True)
+        p1, p2 = p1[first], p2[first]
+
+        n1 = self._track_len[p1].astype(np.float64)
+        n2 = self._track_len[p2].astype(np.float64)
+        Xm = (n1[:, None] * self._xyz[p1] + n2[:, None] * self._xyz[p2]) \
+            / (n1 + n2)[:, None]
+
+        # test every observation of both tracks against the merged point
+        offsets, rows_sorted = self._point_csr()
+        max_err = np.zeros(len(p1))
+        ok_depth = np.ones(len(p1), bool)
+        for side in (p1, p2):
+            cnt = offsets[side + 1] - offsets[side]
+            tot = int(cnt.sum())
+            o = np.repeat(offsets[side], cnt) + (
+                np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt))
+            o = rows_sorted[o]
+            pair_idx = np.repeat(np.arange(len(side)), cnt)
+            ir = self._obs_img_row[o].astype(np.int64)
+            g = self._kp_off[ir] + self._obs_feat[o]
+            err, z = self._np_reproj_err(ir, g, Xm[pair_idx])
+            np.maximum.at(max_err, pair_idx, err)
+            bad_z = np.zeros(len(p1), bool)
+            np.logical_or.at(bad_z, pair_idx, z <= 0)
+            ok_depth &= ~bad_z
+        accept = (max_err < self.options.merge_max_reproj_error) & ok_depth
+        if not accept.any():
+            return 0
+
+        # greedy disjoint merges, largest combined track first
+        idx = np.nonzero(accept)[0]
+        idx = idx[np.argsort(-(n1[idx] + n2[idx]), kind="stable")]
+        used = np.zeros(self._num_pts, bool)
+        merges = []
+        for i in idx:
+            a, b = int(p1[i]), int(p2[i])
+            if used[a] or used[b]:
+                continue
+            used[a] = used[b] = True
+            merges.append(i)
+        if not merges:
+            return 0
+        merges = np.array(merges)
+        members1, members2 = p1[merges], p2[merges]
+        self._grow_points(len(merges))
+        new_pids = np.arange(self._num_pts, self._num_pts + len(merges),
+                             dtype=np.int64)
+        self._num_pts += len(merges)
+        self._xyz[new_pids] = Xm[merges]
+        self._color[new_pids] = self._color[members1]
+        # collect both tracks' observations, delete the members, re-append
+        offsets, rows_sorted = self._point_csr()
+        rows_all, feats_all, pid_all = [], [], []
+        for side in (members1, members2):
+            cnt = offsets[side + 1] - offsets[side]
+            tot = int(cnt.sum())
+            o = np.repeat(offsets[side], cnt) + (
+                np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt))
+            o = rows_sorted[o]
+            rows_all.append(self._obs_img_row[o].copy())
+            feats_all.append(self._obs_feat[o].copy())
+            pid_all.append(np.repeat(new_pids, cnt))
+        self._delete_points(np.concatenate([members1, members2]))
+        self._append_obs(np.concatenate(rows_all),
+                         np.concatenate(feats_all),
+                         np.concatenate(pid_all))
+        return len(merges)
+
+    def complete_and_merge_tracks(self, pids=None) -> np.ndarray:
+        """Complete then merge (reference: CompleteAndMergeTracks inside
+        local/global refinement). Returns the live pids touched."""
+        before = self._num_pts
+        self.complete_tracks(pids)
+        self.merge_tracks(pids)
+        if pids is None:
+            return self._live_pids(None)
+        touched = np.concatenate([
+            np.asarray(pids, np.int64),
+            np.arange(before, self._num_pts, dtype=np.int64)])
+        return self._live_pids(touched)
+
     def triangulate_images(self, image_ids: Sequence[int]) -> int:
         """Create/continue tracks for newly registered images — ONE batched
         device call triangulates every candidate pair from every image in
@@ -860,10 +1048,44 @@ class IncrementalMapper:
                          shape=(len(nodes), len(nodes)))
         n_comp, labels = connected_components(adj, directed=False)
         comp = labels[a]  # component of each accepted pair
+
+        # Multi-view hypothesis selection (reference: RANSAC over view
+        # pairs with support over the whole track, estimators/
+        # triangulation.h:123-155 — done exhaustively-batched): for each
+        # component, score up to 16 best-angle pair hypotheses by how many
+        # of the component's features reproject within threshold, and
+        # create the point from the max-support pair.
         order = np.lexsort((-angle[sel], comp))
+        pairs_sorted = sel[order]
         comp_sorted = comp[order]
-        first = np.unique(comp_sorted, return_index=True)[1]
-        best = sel[order[first]]  # best-angle pair per component
+        starts = np.unique(comp_sorted, return_index=True)[1]
+        counts = np.diff(np.append(starts, len(order)))
+        rank = np.arange(len(order)) - np.repeat(starts, counts)
+        keep = rank < 16
+        pairs_sorted, comp_sorted = pairs_sorted[keep], comp_sorted[keep]
+
+        node_order = np.argsort(labels, kind="stable")
+        nodes_by_comp = nodes[node_order]
+        node_comp_sorted = labels[node_order]
+        noff = np.searchsorted(node_comp_sorted, np.arange(n_comp + 1))
+        Vc = np.diff(noff)
+        rep = Vc[comp_sorted]
+        tot = int(rep.sum())
+        pair_idx = np.repeat(np.arange(len(pairs_sorted)), rep)
+        grp_off = np.cumsum(rep) - rep
+        within = np.arange(tot) - np.repeat(grp_off, rep)
+        node_g = nodes_by_comp[noff[comp_sorted[pair_idx]] + within]
+        rows_n = np.searchsorted(self._kp_off, node_g, side="right") - 1
+        err_n, z_n = self._np_reproj_err(
+            rows_n, node_g, X[pairs_sorted[pair_idx]])
+        good = (err_n < err_px) & (z_n > 0)
+        support = np.bincount(pair_idx, weights=good,
+                              minlength=len(pairs_sorted))
+        o2 = np.lexsort((-angle[pairs_sorted], -support, comp_sorted))
+        firsts = np.unique(comp_sorted[o2], return_index=True)[1]
+        best = pairs_sorted[o2[firsts]]
+        comp_best = comp_sorted[o2[firsts]]
+
         pids = self._add_points_bulk(
             X[best].astype(np.float64),
             cand_r[best].astype(np.int32), cand_f[best],
@@ -871,7 +1093,7 @@ class IncrementalMapper:
         n_new += len(pids)
         # extend all other component features into the new point
         comp_pid = np.full(n_comp, -1, np.int64)
-        comp_pid[comp[order[first]]] = pids
+        comp_pid[comp_best] = pids
         node_pid = comp_pid[labels]
         ext = node_pid >= 0
         ext &= self._flat_pids[nodes] < 0  # skip the just-assigned pairs
