@@ -77,8 +77,13 @@ def run_feature_extraction(
     reader_options: ImageReaderOptions = ImageReaderOptions(),
     sift_options: sift_mod.SiftExtractionOptions = sift_mod.SiftExtractionOptions(),
     image_names: Optional[List[str]] = None,
+    controller=None,
 ) -> FeatureExtractionResult:
-    """Extract SIFT for every image under image_dir into the database."""
+    """Extract SIFT for every image under image_dir into the database.
+
+    `controller` (util.controller.BaseController) injects Stop/Pause
+    between images (reference: Thread stop checks in the extractor loop).
+    """
     names = image_names or bitmap_mod.list_image_files(image_dir)
     if not names:
         raise ValueError(f"no images found in {image_dir}")
@@ -93,6 +98,8 @@ def run_feature_extraction(
     import os
 
     for name in names:
+        if controller is not None and controller.check_if_stopped():
+            break
         bmp = bitmap_mod.read_bitmap(os.path.join(image_dir, name))
 
         if name in existing:

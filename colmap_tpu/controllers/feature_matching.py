@@ -99,8 +99,12 @@ def match_and_verify_blocks(
     pair_blocks: Iterable[Sequence[Tuple[int, int]]],
     options: FeatureMatchingOptions = FeatureMatchingOptions(),
     seed: int = 0,
+    controller=None,
 ) -> MatchingStats:
-    """Match + verify all pair blocks and persist matches/two-view geometries."""
+    """Match + verify all pair blocks and persist matches/two-view geometries.
+
+    `controller` (util.controller.BaseController) injects Stop/Pause
+    between blocks."""
     cameras = database.read_cameras()
     data = _ImageData(database, cameras)
     cap = options.feature_capacity
@@ -122,6 +126,8 @@ def match_and_verify_blocks(
         )(keys, rays1, rays2, pix1, pix2, valid, focal, sizes1, sizes2)
 
     for block in pair_blocks:
+        if controller is not None and controller.check_if_stopped():
+            break
         block = list(block)
         if not block:
             continue

@@ -26,6 +26,7 @@ from colmap_tpu.sfm.incremental_mapper import (
     IncrementalMapper,
     IncrementalMapperOptions,
 )
+from colmap_tpu.util.controller import BaseController
 
 logger = logging.getLogger("colmap_tpu")
 
@@ -55,7 +56,7 @@ class IncrementalPipelineOptions:
     snapshot_images_freq: int = 0
 
 
-class IncrementalPipeline:
+class IncrementalPipeline(BaseController):
     """Run incremental SfM from a database into Reconstruction(s).
 
     Callbacks (reference: BaseController callback registry /
@@ -63,12 +64,18 @@ class IncrementalPipeline:
     pipeline/sfm.cc:116): `initial_image_pair_callback(i1, i2)` fires after
     a successful initialization, `next_image_callback(image_id)` after each
     registered image.
+
+    Stop/Pause: `request_stop()` makes the run unwind at the next round
+    boundary and return the model built so far; `request_pause()` blocks
+    the loop until `resume()` (reference: Thread/BaseController stop-check
+    injection, util/base_controller.h:42).
     """
 
     def __init__(self, database: Database,
                  options: IncrementalPipelineOptions = IncrementalPipelineOptions(),
                  initial_image_pair_callback=None,
                  next_image_callback=None):
+        super().__init__()
         self.database = database
         self.options = options
         self.initial_image_pair_callback = initial_image_pair_callback
@@ -132,6 +139,8 @@ class IncrementalPipeline:
         last_snapshot = 0
 
         while True:
+            if self.check_if_stopped():
+                break
             # round-based registration: PnP-register up to ~10% of the
             # current model in ONE vmapped device call, then triangulate
             # the whole round in one batch and local-BA the union. The
@@ -208,6 +217,8 @@ class IncrementalPipeline:
         exclude: Set[int] = set()
         max_models = self.options.max_num_models if self.options.multiple_models else 1
         for model_idx in range(max_models):
+            if self.check_if_stopped():
+                break
             mapper = None
             if model_idx == 0 and input_model is not None:
                 # resume: seed mapper state from the existing model

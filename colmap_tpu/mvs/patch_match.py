@@ -47,10 +47,11 @@ _F32 = jnp.float32
 class PatchMatchOptions:
     """Mirrors PatchMatchOptions (reference: mvs/patch_match.h:57-130)."""
 
-    window_radius: int = 3
+    window_radius: int = 5  # reference default (patch_match.h:71)
     window_step: int = 1
     sigma_color: float = 0.2
-    sigma_spatial: float = 3.0
+    # reference default -1 resolves to window_radius (patch_match.h:81)
+    sigma_spatial: float = -1.0
     num_iterations: int = 5
     num_perturbations: int = 2
     # fine perturbation-only passes after the propagation loop (improves
@@ -136,8 +137,10 @@ def _precompute(problem: PatchMatchProblem, opts: PatchMatchOptions) -> _Precomp
     # bilateral weights (reference: PhotoConsistencyCostComputer :411)
     col = jnp.exp(-(ref_patch - ref[..., None]) ** 2
                   / (2 * opts.sigma_color ** 2))
+    sigma_spatial = (opts.sigma_spatial if opts.sigma_spatial > 0
+                     else float(opts.window_radius))
     sp = np.exp(-(offsets[:, 0] ** 2 + offsets[:, 1] ** 2)
-                / (2 * opts.sigma_spatial ** 2)).astype(np.float32)
+                / (2 * sigma_spatial ** 2)).astype(np.float32)
     bil_w = col * jnp.asarray(sp)[None, None, :] * inb
     return _Precomp(rays=rays, pix=pix, ref_patch=ref_patch, bil_w=bil_w,
                     offs=offs, Kinv=Kinv)

@@ -26,20 +26,10 @@ except Exception:  # pragma: no cover
     _HAS_PIL = False
 
 
-# A compact sensor-width table (mm) by normalized "make model" substring.
-# Reference analog: src/colmap/sensor/specs.cc (~3000 entries). Common
-# formats cover the EXIF FocalPlaneXResolution-less cases.
-SENSOR_WIDTHS_MM = {
-    "canon eos 5d": 36.0,
-    "canon eos 6d": 35.8,
-    "canon eos 7d": 22.3,
-    "nikon d750": 35.9,
-    "nikon d90": 23.6,
-    "sony ilce-7": 35.8,
-    "fujifilm x-t": 23.6,
-    "iphone": 4.8,
-    "pixel": 6.17,
-}
+# Sensor-width lookup: the full ~3.7k-entry make/model table
+# (sensor/camera_specs.csv + camera_database.py, reference
+# src/colmap/sensor/specs.cc + database.cc QuerySensorWidth).
+from colmap_tpu.sensor.camera_database import query_sensor_width
 
 _EXIF_TAGS = {v: k for k, v in ExifTags.TAGS.items()} if _HAS_PIL else {}
 
@@ -116,10 +106,9 @@ def exif_focal_length_px(pil_img, width: int) -> Tuple[Optional[float], str, str
             sensor_w_mm = pix_w / fpx * unit_mm
             if sensor_w_mm > 0:
                 return width * focal_mm / sensor_w_mm, make, model
-        key = f"{make} {model}".lower()
-        for name, sw in SENSOR_WIDTHS_MM.items():
-            if name in key:
-                return width * focal_mm / sw, make, model
+        sw = query_sensor_width(make, model)
+        if sw:
+            return width * focal_mm / sw, make, model
     return None, make, model
 
 

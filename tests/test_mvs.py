@@ -230,3 +230,39 @@ def test_consistency_graph_roundtrip(tmp_path, rng):
     assert g2.width == w and g2.height == h
     np.testing.assert_array_equal(g2.data, g.data)
     assert list(g2.image_idxs(3, 5)) == list(g.image_idxs(3, 5))
+
+
+def test_patch_match_vga_reference_defaults():
+    """Depth accuracy at >=640x480 with the reference NCC window
+    (window_radius=5 -> 11x11, sigma_spatial=window_radius): L1 bounds at
+    reference-default settings (VERDICT r1 item 8; reference
+    mvs/patch_match.h:71-98 defaults)."""
+    opts = synth.RoomDatasetOptions(num_images=3, width=640, height=480,
+                                    focal=560.0, seed=6)
+    images, K, Rs, ts, depths = synth.render_room_dataset(opts,
+                                                          return_depth=True)
+    ref, srcs = 1, [0, 2]
+    R_rel = np.stack([Rs[s] @ Rs[ref].T for s in srcs])
+    t_rel = np.stack([ts[s] - R_rel[i] @ ts[ref] for i, s in enumerate(srcs)])
+    gt = depths[ref]
+    problem = pm.PatchMatchProblem(
+        ref_image=jnp.asarray(images[ref], jnp.float32) / 255.0,
+        src_images=jnp.asarray(np.stack([images[s] for s in srcs]),
+                               jnp.float32) / 255.0,
+        K_ref=jnp.asarray(K, jnp.float32),
+        K_src=jnp.asarray(np.stack([K] * len(srcs)), jnp.float32),
+        R_rel=jnp.asarray(R_rel, jnp.float32),
+        t_rel=jnp.asarray(t_rel, jnp.float32),
+        depth_min=jnp.asarray(gt[gt > 0].min() * 0.7, jnp.float32),
+        depth_max=jnp.asarray(gt[gt > 0].max() * 1.3, jnp.float32))
+    o = pm.PatchMatchOptions()  # reference defaults: radius 5, 5 iters
+    assert o.window_radius == 5 and o.sigma_spatial < 0
+    depth, normal, cost = jax.tree.map(
+        np.asarray, pm.patch_match(jax.random.PRNGKey(0), problem, o))
+    ok = (depth > 0) & (gt > 0)
+    assert ok.mean() > 0.4, ok.mean()
+    rel = np.abs(depth - gt)[ok] / gt[ok]
+    l1 = np.abs(depth - gt)[ok]
+    assert np.median(rel) < 0.03, f"median rel depth err {np.median(rel):.4f}"
+    assert np.median(l1) < 0.05 * np.median(gt[gt > 0]), np.median(l1)
+    assert (rel < 0.05).mean() > 0.6, (rel < 0.05).mean()

@@ -147,3 +147,52 @@ def test_normalize(rng):
     centers = np.stack([rec.images[i].projection_center() for i in rec.registered_image_ids()])
     extent = np.linalg.norm(np.max(centers, 0) - np.min(centers, 0))
     assert 5.0 < extent < 20.0
+
+
+def test_camera_database_sensor_widths():
+    """Table-driven EXIF sensor-width lookup parity with the reference
+    QuerySensorWidth rules (sensor/database.cc:40-85, specs.cc table)."""
+    from colmap_tpu.sensor.camera_database import load_specs, query_sensor_width
+
+    specs = load_specs()
+    total = sum(len(v) for v in specs.values())
+    assert total > 3000, total  # the full reference-scale table shipped
+
+    # resolvable make/model pairs across several makes (values from the
+    # table; note the reference's own matching rules make short model
+    # names like "EOS 5D" ambiguous against their Mark-II/III variants)
+    for make, model in [("Canon", "EOS 5DS R"),
+                        ("NIKON CORPORATION", "NIKON D90"),
+                        ("Canon", "Canon EOS 7D"),
+                        ("FUJIFILM", "X-T1"),
+                        ("NIKON", "D750")]:
+        w = query_sensor_width(make, model)
+        assert w is not None and 3.0 < w < 40.0, (make, model, w)
+
+    # cleaning rules: separators and duplicated make are stripped
+    assert query_sensor_width("Canon", "Canon EOS-7D") == \
+        query_sensor_width("canon", "eos7d")
+    # unknown model -> None (no unique match)
+    assert query_sensor_width("Canon", "definitely-not-a-camera-xyz") is None
+    assert query_sensor_width("", "") is None
+
+
+def test_exif_focal_from_sensor_db(tmp_path):
+    """EXIF FocalLength + make/model resolves through the specs table."""
+    from PIL import Image
+    from colmap_tpu.sensor import bitmap as bm
+
+    path = str(tmp_path / "cam.jpg")
+    im = Image.new("L", (640, 480))
+    exif = Image.Exif()
+    from PIL.ExifTags import Base
+    exif[Base.Make] = "Canon"
+    exif[Base.Model] = "Canon EOS 7D"
+    exif[Base.FocalLength] = 50.0
+    im.save(path, exif=exif)
+    b = bm.read_bitmap(path)
+    w = __import__("colmap_tpu.sensor.camera_database",
+                   fromlist=["query_sensor_width"]).query_sensor_width(
+        "Canon", "EOS 7D")
+    assert b.exif_focal_px is not None
+    np.testing.assert_allclose(b.exif_focal_px, 640 * 50.0 / w, rtol=1e-6)
