@@ -204,12 +204,18 @@ class IncrementalPipeline(BaseController):
     # -- multi-model entry points ------------------------------------------------
 
     def run_multi(self, seed: int = 0, image_names=None,
-                  input_model: Optional[Reconstruction] = None
+                  input_model: Optional[Reconstruction] = None,
+                  cache: Optional[DatabaseCache] = None
                   ) -> ReconstructionManager:
-        """Reconstruct all sub-models (reference: Reconstruct, .cc:474)."""
-        cache = DatabaseCache.create(
-            self.database, min_num_matches=self.options.min_num_matches,
-            image_names=image_names)
+        """Reconstruct all sub-models (reference: Reconstruct, .cc:474).
+
+        Pass `cache` to reuse a pre-built DatabaseCache (the hierarchical
+        mapper builds per-cluster caches serially, then maps clusters
+        concurrently — sqlite connections are thread-bound)."""
+        if cache is None:
+            cache = DatabaseCache.create(
+                self.database, min_num_matches=self.options.min_num_matches,
+                image_names=image_names)
         manager = ReconstructionManager()
         if len(cache.images) < 2:
             return manager
@@ -245,11 +251,12 @@ class IncrementalPipeline(BaseController):
         return mapper
 
     def run(self, seed: int = 0, image_names=None,
-            input_model: Optional[Reconstruction] = None
+            input_model: Optional[Reconstruction] = None,
+            cache: Optional[DatabaseCache] = None
             ) -> Optional[Reconstruction]:
         """Reconstruct and return the largest sub-model."""
         manager = self.run_multi(seed=seed, image_names=image_names,
-                                 input_model=input_model)
+                                 input_model=input_model, cache=cache)
         if len(manager) == 0:
             return None
         return manager.largest()

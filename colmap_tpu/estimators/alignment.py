@@ -23,21 +23,52 @@ from colmap_tpu.estimators.similarity_transform import (
 from colmap_tpu.geometry import sim3 as sim3_mod
 
 
+def common_point_pairs(rec_src, rec_dst, max_pairs: int = 2000
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    """3D point pairs whose tracks share a (image, point2D) observation.
+
+    Reference: AlignReconstructionsViaPoints (alignment.h) uses common
+    triangulated observations when too few images overlap."""
+    src_pts, dst_pts = [], []
+    dst_imgs = rec_dst.images
+    for pid, pt in rec_src.points3D.items():
+        for (iid, p2d) in pt.track:
+            im = dst_imgs.get(iid)
+            if im is None or len(im.point3D_ids) <= p2d:
+                continue
+            dpid = int(im.point3D_ids[p2d])
+            if dpid >= 0 and dpid in rec_dst.points3D:
+                src_pts.append(pt.xyz)
+                dst_pts.append(rec_dst.points3D[dpid].xyz)
+                break
+        if len(src_pts) >= max_pairs:
+            break
+    if not src_pts:
+        return np.zeros((0, 3)), np.zeros((0, 3))
+    return np.stack(src_pts), np.stack(dst_pts)
+
+
 def align_reconstructions_robust(rec_src, rec_dst, max_error: float = 0.1,
                                  num_trials: int = 256, seed: int = 0
                                  ) -> Optional[np.ndarray]:
-    """RANSAC Sim3 alignment over common projection centers.
+    """RANSAC Sim3 alignment over common projection centers, falling back
+    to common 3D points when fewer than 3 images overlap.
 
     Reference: AlignReconstructions with RANSAC on proj centers
-    (alignment.cc). Minimal sample = 3 centers; scored by center distance.
-    """
+    (alignment.cc) + AlignReconstructionsViaPoints. Minimal sample = 3;
+    scored by distance."""
     common = sorted(set(rec_src.registered_image_ids())
                     & set(rec_dst.registered_image_ids()))
-    if len(common) < 3:
-        return None
-    src = np.stack([rec_src.images[i].projection_center() for i in common])
-    dst = np.stack([rec_dst.images[i].projection_center() for i in common])
-    n = len(common)
+    if len(common) >= 3:
+        src = np.stack([rec_src.images[i].projection_center()
+                        for i in common])
+        dst = np.stack([rec_dst.images[i].projection_center()
+                        for i in common])
+    else:
+        src, dst = common_point_pairs(rec_src, rec_dst)
+        if len(src) < 3:
+            return None
+    n = len(src)
     rng = np.random.default_rng(seed)
     best_inl = -1
     best_t = None
@@ -67,15 +98,20 @@ def align_reconstructions_robust(rec_src, rec_dst, max_error: float = 0.1,
 
 
 def merge_reconstructions(rec_dst, rec_src, max_reproj_error: float = 8.0,
-                          max_proj_center_error: float = 0.1) -> bool:
+                          max_proj_center_error: float = 0.1,
+                          precomputed_sim3: Optional[np.ndarray] = None) -> bool:
     """Merge rec_src INTO rec_dst (in place).
 
     Reference: MergeReconstructions (estimators/alignment.cc): align src to
     dst via common registered images, transform, transfer novel images, and
-    fuse 3D points whose tracks share observations.
+    fuse 3D points whose tracks share observations. `precomputed_sim3`
+    skips the internal alignment (the hierarchical mapper's pose graph
+    already placed every cluster in the global frame).
     """
-    t = align_reconstructions_robust(rec_src, rec_dst,
-                                     max_error=max_proj_center_error)
+    t = precomputed_sim3
+    if t is None:
+        t = align_reconstructions_robust(rec_src, rec_dst,
+                                         max_error=max_proj_center_error)
     if t is None:
         return False
     import copy

@@ -264,11 +264,6 @@ def _make_reducers(problem: "BAProblem", axis_name, P: int, C: int, M: int):
     if axis_name is None and problem.pt_gather is not None:
         pt_g = problem.pt_gather
         pose_g = problem.pose_gather
-        # (P, C) one-hot: camera reductions go obs -> pose -> camera. Each
-        # pose has exactly one camera, so summing pose partials per camera
-        # is exact, and the one-hot is O(P*C) instead of O(N*C).
-        pose_cam_oh = (problem.pose_cam_idx[:, None]
-                       == jnp.arange(C)[None, :]).astype(jnp.float32)
 
         def point_reduce(v):
             return _gather_reduce(v, pt_g)
@@ -276,12 +271,33 @@ def _make_reducers(problem: "BAProblem", axis_name, P: int, C: int, M: int):
         def pose_reduce(v):
             return _gather_reduce(v, pose_g)
 
-        def cam_reduce(v):
-            per_pose = _gather_reduce(v, pose_g)  # (P, ...)
-            flat = per_pose.reshape(P, -1)
-            out = jnp.einsum("pc,pk->ck", pose_cam_oh, flat,
-                             preferred_element_type=flat.dtype)
-            return out.reshape((C,) + v.shape[1:])
+        if C <= 8:
+            # small camera count: one-hot contraction straight over the obs
+            # axis (O(N*C) transient is tiny; this is the fast path the
+            # single-camera 500-cam bench hits)
+            obs_oh = (problem.obs_cam_idx[:, None]
+                      == jnp.arange(C)[None, :]).astype(jnp.float32)
+            obs_oh = obs_oh * (problem.obs_weight > 0)[:, None]
+
+            def cam_reduce(v):
+                flat = v.reshape(v.shape[0], -1)
+                out = jnp.einsum("nc,nk->ck", obs_oh, flat,
+                                 preferred_element_type=flat.dtype)
+                return out.reshape((C,) + v.shape[1:])
+        else:
+            # many cameras: reduce obs -> pose -> camera; every pose has
+            # exactly one camera, so this is exact and the layout memory is
+            # O(P*C), not the old O(N*C) dense one-hot (800 MB at 1M obs x
+            # 200 cams)
+            pose_cam_oh = (problem.pose_cam_idx[:, None]
+                           == jnp.arange(C)[None, :]).astype(jnp.float32)
+
+            def cam_reduce(v):
+                per_pose = _gather_reduce(v, pose_g)  # (P, ...)
+                flat = per_pose.reshape(P, -1)
+                out = jnp.einsum("pc,pk->ck", pose_cam_oh, flat,
+                                 preferred_element_type=flat.dtype)
+                return out.reshape((C,) + v.shape[1:])
 
         return point_reduce, pose_reduce, cam_reduce
 

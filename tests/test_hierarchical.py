@@ -114,3 +114,81 @@ def test_merge_reconstructions_sim3_invariance(synthetic_db):
     cmp = compare_reconstructions(rec1, gt)
     assert cmp["max_rotation_error_deg"] < 0.1
     assert cmp["max_center_error"] < 1e-3
+
+
+def test_pose_graph_distributes_loop_closure():
+    """A 6-node Sim3 ring with consistent edges + noise: joint refinement
+    must beat chained (BFS) composition on the loop-closing edge."""
+    import jax.numpy as jnp
+
+    from colmap_tpu.estimators import pose_graph as pg
+    from colmap_tpu.geometry import sim3 as s3
+    from colmap_tpu.geometry import rotation as rot
+
+    rng = np.random.default_rng(0)
+    n = 6
+    gt = [np.array([1, 1, 0, 0, 0, 0, 0, 0], np.float32)]
+    for k in range(1, n):
+        q = np.asarray(rot.quat_from_axis_angle(
+            jnp.asarray(rng.normal(0, 0.3, 3).astype(np.float32))))
+        gt.append(np.concatenate([[np.exp(rng.normal(0, 0.1))], q,
+                                  rng.normal(0, 1.0, 3)]).astype(np.float32))
+    gt = np.stack(gt)
+
+    def noisy_rel(i, j, sigma=0.01):
+        m = np.asarray(s3.compose(s3.inverse(jnp.asarray(gt[j])),
+                                  jnp.asarray(gt[i])))
+        d = rng.normal(0, sigma, 3).astype(np.float32)
+        qn = np.asarray(rot.quat_from_axis_angle(jnp.asarray(d)))
+        return np.asarray(s3.compose(jnp.asarray(m), s3.make(
+            jnp.exp(jnp.asarray(rng.normal(0, sigma), jnp.float32)),
+            jnp.asarray(qn), jnp.asarray(rng.normal(0, sigma, 3),
+                                         jnp.float32))))
+
+    edges = np.array([(k, (k + 1) % n) for k in range(n)])
+    meas = np.stack([noisy_rel(i, j) for i, j in edges])
+
+    # chained initialization (what greedy merging would do)
+    init = [gt[0]] + [None] * (n - 1)
+    for k in range(1, n):
+        m = meas[k - 1]  # edge (k-1, k): k_from_(k-1)
+        init[k] = np.asarray(s3.compose(jnp.asarray(init[k - 1]),
+                                        s3.inverse(jnp.asarray(m))))
+    init = np.stack(init)
+
+    refined = pg.optimize_sim3_pose_graph(init, edges, meas)
+
+    def consistency(S):
+        errs = []
+        for (i, j), m in zip(edges, meas):
+            pred = np.asarray(s3.compose(s3.inverse(jnp.asarray(S[j],
+                                                                jnp.float32)),
+                                         jnp.asarray(S[i], jnp.float32)))
+            e = np.asarray(s3.compose(s3.inverse(jnp.asarray(m)),
+                                      jnp.asarray(pred)))
+            errs.append(np.linalg.norm(e[5:8]) + abs(np.log(max(e[0], 1e-9))))
+        return np.array(errs)
+
+    before = consistency(init)
+    after = consistency(refined)
+    # the chained init has all the loop error on the closing edge; the
+    # refined graph distributes it
+    assert after.max() < before.max()
+    assert after.mean() < 0.05
+
+
+def test_hierarchical_parallel_clusters(synthetic_db):
+    """Clusters reconstruct concurrently (thread pool) and fuse via the
+    pose graph; accuracy matches the sequential result."""
+    db, gt = synthetic_db
+    opts = HierarchicalPipelineOptions()
+    opts.clustering.leaf_max_num_images = 5
+    opts.clustering.image_overlap = 2
+    opts.num_workers = 3
+    rec = HierarchicalPipeline(db, opts).run(seed=1)
+    assert rec is not None
+    assert rec.num_registered_images() >= 10
+    cmp = compare_reconstructions(rec, gt)
+    assert cmp is not None
+    assert cmp["max_rotation_error_deg"] < 1.0, cmp
+    assert cmp["max_center_error"] < 0.05, cmp
