@@ -38,3 +38,54 @@ def test_distributed_ba_matches_single(rng):
     state_single = ba.solve(problem, options)
     rms_single = rms_reproj(state_single.problem, options)
     assert abs(rms - rms_single) < 0.05
+
+
+def test_distributed_ba_multi_camera_uneven_shards(rng):
+    """Scaling-shape coverage: C=3 cameras, P=24 poses, an observation
+    count NOT divisible by the 8 shards (pad rows land on one shard), and
+    intrinsics refinement ON through the distributed segment-sum path."""
+    from tests.test_bundle_adjustment import build_multi_camera_ba
+
+    poses, cam_params, points, obs, model_id = build_multi_camera_ba(
+        rng, num_poses=24, num_cams=3, num_points=150)
+    op, oc, opt_, oxy = obs
+    # drop a few observations so the count is odd w.r.t. the mesh
+    n = (len(op) // 8) * 8 - 3
+    obs = (op[:n], oc[:n], opt_[:n], oxy[:n])
+    noisy = np.array(
+        rigid3.exp_update(
+            jnp.asarray(poses),
+            jnp.asarray(rng.normal(0, 0.004, (len(poses), 6)).astype(np.float32)),
+        )
+    )
+    noisy[0], noisy[1] = poses[0], poses[1]
+    problem = ba.make_problem(
+        noisy, cam_params, points, *obs, fix_first_pose_and_gauge=True,
+        refine_intrinsics=True,
+        camera_model_ids=[model_id] * len(cam_params),
+    )
+    options = ba.BAOptions(max_iterations=12, cg_iterations=25,
+                           camera_model_id=model_id)
+    mesh = make_mesh(8)
+    state = distributed_ba.solve_distributed(problem, options, mesh)
+    state_single = ba.solve(problem, options)
+    # distributed and single-device solves agree
+    np.testing.assert_allclose(float(state.cost), float(state_single.cost),
+                               rtol=5e-2, atol=1e-4)
+    rms = rms_reproj(state.problem, options)
+    assert rms < 0.2, rms
+
+
+def test_distributed_ba_early_exit(rng):
+    """function_tolerance termination works under shard_map (the psum'd
+    cost keeps the while_loop condition uniform across shards)."""
+    poses, cams, points, obs, model_id = build_synthetic_ba(
+        rng, num_poses=6, num_points=80)
+    problem = ba.make_problem(poses, cams, points, *obs,
+                              fix_first_pose_and_gauge=True)
+    options = ba.BAOptions(max_iterations=30, cg_iterations=10,
+                           camera_model_id=model_id, function_tolerance=1e-6)
+    mesh = make_mesh(8)
+    state = distributed_ba.solve_distributed(problem, options, mesh)
+    assert int(np.asarray(state.iteration)[0] if np.asarray(state.iteration).ndim
+               else state.iteration) < 30
