@@ -400,3 +400,34 @@ def rig_absolute_pose_estimation(points2D, points3D, cam_idx, cams_from_rig,
                 rig_from_world=np.asarray(res.rig_from_world, np.float64),
                 num_inliers=int(res.num_inliers),
                 inlier_mask=np.asarray(res.inlier_mask))
+
+
+def align_reconstructions(src: Reconstruction, dst: Reconstruction,
+                          max_error: float = 0.1):
+    """Robust Sim3 aligning src to dst via common images (falling back to
+    common 3D points). Returns the (8,) Sim3 or None.
+
+    Reference: pycolmap align_reconstructions / estimators/alignment.h.
+    """
+    from colmap_tpu.estimators.alignment import align_reconstructions_robust
+
+    return align_reconstructions_robust(src, dst, max_error=max_error)
+
+
+def merge_reconstructions(dst: Reconstruction, src: Reconstruction,
+                          max_proj_center_error: float = 0.1) -> bool:
+    """Merge src into dst in place (reference: MergeReconstructions)."""
+    from colmap_tpu.estimators.alignment import (
+        merge_reconstructions as _merge)
+
+    return _merge(dst, src, max_proj_center_error=max_proj_center_error)
+
+
+def optimize_sim3_pose_graph(initial, edges, measurements, weights=None,
+                             num_iters: int = 20):
+    """Joint Sim3 pose-graph refinement (loop closure for cluster merging;
+    see estimators/pose_graph.py)."""
+    from colmap_tpu.estimators.pose_graph import (
+        optimize_sim3_pose_graph as _opt)
+
+    return _opt(initial, edges, measurements, weights, num_iters=num_iters)

@@ -13,6 +13,8 @@ from __future__ import annotations
 import dataclasses
 import logging
 import os
+import time
+from collections import defaultdict
 from typing import List, Optional, Set
 
 import numpy as np
@@ -51,6 +53,10 @@ class IncrementalPipelineOptions:
     # retriangulation inside global refinement (reference:
     # IterativeGlobalRefinement)
     retriangulate: bool = True
+    # final refinement iterates until the changed-observation ratio drops
+    # (reference: ba_global_max_refinements / ba_global_max_refinement_change)
+    ba_global_max_refinements: int = 5
+    ba_global_max_refinement_change: float = 0.0005
     # snapshots (reference: snapshot_path / snapshot_images_freq)
     snapshot_path: Optional[str] = None
     snapshot_images_freq: int = 0
@@ -80,6 +86,14 @@ class IncrementalPipeline(BaseController):
         self.options = options
         self.initial_image_pair_callback = initial_image_pair_callback
         self.next_image_callback = next_image_callback
+        # per-stage cumulative seconds (printed when COLMAP_TPU_PROFILE=1)
+        self.stage_s = defaultdict(float)
+
+    def _timed(self, stage: str, fn, *args, **kwargs):
+        t0 = time.perf_counter()
+        out = fn(*args, **kwargs)
+        self.stage_s[stage] += time.perf_counter() - t0
+        return out
 
     # -- single sub-model -------------------------------------------------------
 
@@ -149,11 +163,13 @@ class IncrementalPipeline(BaseController):
             n_reg = len(mapper.registered)
             batch = max(1, min(self.options.mapper.max_batch_size,
                                n_reg // 10))
-            candidates = [i for i in mapper.find_next_images(
+            candidates = [i for i in self._timed(
+                "find_next", mapper.find_next_images,
                 max_images=2 * batch + 10) if i not in exclude_images][:batch]
             if not candidates:
                 break
-            accepted = mapper.register_next_images(candidates)
+            accepted = self._timed("register", mapper.register_next_images,
+                                   candidates)
             if not accepted:
                 continue  # trials are bounded by max_reg_trials
             logger.info("registered %d image(s) (#%d): %s", len(accepted),
@@ -161,14 +177,17 @@ class IncrementalPipeline(BaseController):
             if self.next_image_callback is not None:
                 for iid in accepted:
                     self.next_image_callback(iid)
-            mapper.triangulate_images(accepted)
-            local_pids = mapper.adjust_local_bundle(accepted)
+            self._timed("triangulate", mapper.triangulate_images, accepted)
+            local_pids = self._timed("local_ba", mapper.adjust_local_bundle,
+                                     accepted)
             # complete + merge the locally-adjusted tracks, then filter
             # only those (reference: IterativeLocalRefinement runs
             # CompleteAndMergeTracks + FilterPoints3DInImages; the full
             # pass runs in global refinement)
-            touched = mapper.complete_and_merge_tracks(local_pids)
-            mapper.filter_points(pids=touched)
+            touched = self._timed("complete_merge",
+                                  mapper.complete_and_merge_tracks,
+                                  local_pids)
+            self._timed("filter", mapper.filter_points, pids=touched)
             last_snapshot = self._maybe_snapshot(mapper, last_snapshot)
 
             n_img = len(mapper.registered)
@@ -180,6 +199,11 @@ class IncrementalPipeline(BaseController):
                 last_global_points = mapper.num_points3D()
 
         self._global_refinement(mapper, final=True)
+        if os.environ.get("COLMAP_TPU_PROFILE"):
+            total = sum(self.stage_s.values())
+            logger.warning("stage timings (%.1fs total): %s", total,
+                           {k: round(v, 1) for k, v in sorted(
+                               self.stage_s.items(), key=lambda kv: -kv[1])})
         if mapper.rec.num_registered_images() < self.options.min_model_size:
             return None
         return mapper.finalize()
@@ -189,17 +213,32 @@ class IncrementalPipeline(BaseController):
         (reference: IterativeGlobalRefinement, sfm/incremental_mapper.cc:688
         — retriangulates and filters inside the loop, not just at the end).
         The whole retriangulation sweep is one batched create/continue pass
-        over all registered images."""
+        over all registered images. The FINAL refinement iterates until the
+        changed-observation ratio drops below
+        ba_global_max_refinement_change (reference parity)."""
         n_img = len(mapper.registered)
         logger.info("global refinement at %d images", n_img)
-        if self.options.retriangulate:
-            n_new = mapper.triangulate_images(list(mapper.registered))
-            if n_new:
-                logger.info("retriangulation added %d observations", n_new)
-            mapper.complete_and_merge_tracks()
-        mapper.adjust_global_bundle(
-            refine_intrinsics=self.options.ba_refine_focal_length and n_img >= 8)
-        mapper.filter_points()
+        max_iters = self.options.ba_global_max_refinements if final else 1
+        for it in range(max_iters):
+            n_changed = 0
+            if self.options.retriangulate:
+                n_changed += self._timed(
+                    "retriangulate", mapper.triangulate_images,
+                    list(mapper.registered))
+                self._timed("complete_merge_global",
+                            mapper.complete_and_merge_tracks)
+            self._timed(
+                "global_ba", mapper.adjust_global_bundle,
+                refine_intrinsics=(self.options.ba_refine_focal_length
+                                   and n_img >= 8))
+            n_changed += self._timed("filter_global", mapper.filter_points)
+            total_obs = max(int((mapper._obs_pid[: mapper._num_obs] >= 0).sum()),
+                            1)
+            change = n_changed / total_obs
+            logger.info("refinement %d: %d changed obs (%.5f)", it,
+                        n_changed, change)
+            if change < self.options.ba_global_max_refinement_change:
+                break
 
     # -- multi-model entry points ------------------------------------------------
 

@@ -166,6 +166,16 @@ def _pack_ba_state(state):
                             pr.points.reshape(-1)])
 
 
+@partial(jax.jit, static_argnames=("options",))
+def _solve_packed(problem, options: ba.BAOptions):
+    """BA solve fused with the result packing: ONE program, ONE
+    device->host transfer per bundle adjustment."""
+    state = ba.run_lm(ba.init_state(problem, options), options)
+    pr = state.problem
+    return jnp.concatenate([pr.poses.reshape(-1), pr.cam_params.reshape(-1),
+                            pr.points.reshape(-1)])
+
+
 # ---------------------------------------------------------------------------
 # host-side vectorized quaternion math (decision-path geometry: elementwise
 # numpy beats a 65 ms tunnel round-trip for anything under ~10^7 elements)
@@ -266,6 +276,24 @@ class IncrementalMapper:
                                 edge_feat.astype(np.int64)))
         self._neighbors: List[np.ndarray] = [
             np.unique(self._graph[r][1]) for r in range(n_img)]
+        # global match table: every correspondence edge once, as flat
+        # keypoint indices (g = kp_off[row] + feat). Complete/Merge are
+        # single vectorized passes over this table instead of per-query
+        # CSR expansions (which blow up quadratically on dense graphs).
+        mg1, mg2 = [], []
+        for (i1, i2), m in cache.graph._matches.items():
+            if len(m) == 0:
+                continue
+            r1, r2 = self._row_of[i1], self._row_of[i2]
+            mg1.append((self._kp_off[r1] + m[:, 0]).astype(np.int64))
+            mg2.append((self._kp_off[r2] + m[:, 1]).astype(np.int64))
+        self._mg1 = np.concatenate(mg1) if mg1 else np.zeros(0, np.int64)
+        self._mg2 = np.concatenate(mg2) if mg2 else np.zeros(0, np.int64)
+        # row of each match endpoint (for registration checks)
+        self._mrow1 = np.searchsorted(self._kp_off, self._mg1,
+                                      side="right") - 1
+        self._mrow2 = np.searchsorted(self._kp_off, self._mg2,
+                                      side="right") - 1
 
         # ---- point / observation store ----------------------------------
         self._xyz = np.zeros((1024, 3), np.float64)
@@ -277,18 +305,29 @@ class IncrementalMapper:
         self._obs_pid = np.full(4096, -1, np.int64)
         self._num_obs = 0
         self._csr_cache = None
+        self._seen_keys = None  # sorted (pid, img) keys of alive obs
 
         self.registered: List[int] = []
         self.num_reg_trials: Dict[int, int] = {}
         self._rng = np.random.default_rng(seed)
         self._key = jax.random.PRNGKey(seed)
+        # host-side key pool: jax.random.split is an EAGER device op per
+        # call (~5 ms through the tunnel); refill 256 keys in one op and
+        # hand out numpy rows
+        self._key_pool: Optional[np.ndarray] = None
+        self._key_idx = 0
 
     # ------------------------------------------------------------------
     # small helpers
     # ------------------------------------------------------------------
     def _next_key(self):
-        self._key, k = jax.random.split(self._key)
-        return k
+        if self._key_pool is None or self._key_idx >= len(self._key_pool):
+            self._key, sub = jax.random.split(self._key)
+            self._key_pool = np.asarray(jax.random.split(sub, 256))
+            self._key_idx = 0
+        k = self._key_pool[self._key_idx]
+        self._key_idx += 1
+        return jnp.asarray(k)
 
     def _focal(self, image_id: int) -> float:
         return float(self._focal_arr[self._row_of[image_id]])
@@ -402,25 +441,28 @@ class IncrementalMapper:
         self._flat_pids[g] = pids
         np.add.at(self._track_len, pids, 1)
         self._csr_cache = None
+        self._seen_keys = None
         return n
 
     def _point_sees_image(self, pids: np.ndarray, img_rows: np.ndarray
                           ) -> np.ndarray:
-        """For each (pid, img_row) query: does pid already observe the image?"""
-        offsets, rows_sorted = self._point_csr()
-        out = np.zeros(len(pids), bool)
-        # vectorized membership: expand each pid's obs rows (tracks are
-        # short: mean ~3-10) — loop over max track length of the queried set
-        starts = offsets[pids]
-        ends = offsets[pids + 1]
-        max_len = int((ends - starts).max()) if len(pids) else 0
-        for j in range(max_len):
-            idx = starts + j
-            ok = idx < ends
-            obs_rows = self._obs_img_row[rows_sorted[np.minimum(
-                idx, len(rows_sorted) - 1)]]
-            out |= ok & (obs_rows == img_rows)
-        return out
+        """For each (pid, img_row) query: does pid already observe the image?
+
+        Sorted-key membership over all alive observations (cached with the
+        CSR; long tracks made the old per-track-slot loop O(track_len)
+        vectorized passes)."""
+        if self._seen_keys is None:
+            alive = self._obs_pid[: self._num_obs] >= 0
+            keys = (self._obs_pid[: self._num_obs][alive]
+                    * len(self._img_ids)
+                    + self._obs_img_row[: self._num_obs][alive])
+            self._seen_keys = np.sort(keys)
+        keys = self._seen_keys
+        if len(keys) == 0:
+            return np.zeros(len(pids), bool)
+        q = pids * len(self._img_ids) + img_rows
+        idx = np.clip(np.searchsorted(keys, q), 0, len(keys) - 1)
+        return keys[idx] == q
 
     def _point_csr(self):
         """(offsets (num_pts+1,), obs_rows_sorted) over ALIVE observations."""
@@ -446,6 +488,7 @@ class IncrementalMapper:
         self._obs_pid[rows] = -1
         np.subtract.at(self._track_len, pids, 1)
         self._csr_cache = None
+        self._seen_keys = None
 
     def _delete_points(self, pids: np.ndarray):
         if len(pids) == 0:
@@ -615,28 +658,41 @@ class IncrementalMapper:
         correspondences touch an existing 3D point, weighted by spatial
         spread over a multi-level grid (reference: VisibilityPyramid,
         scene/visibility_pyramid.h:51; ObservationManager ranking).
-        Only images adjacent to the model can score > 0, so only those
-        are scanned.
+        Candidate discovery is one vectorized pass over the global match
+        table; the pyramid score runs only on the best candidates.
         """
+        # features (in unregistered images) whose partner carries a point
+        vis = []
+        for src_g, dst_g, dst_row in ((self._mg1, self._mg2, self._mrow2),
+                                      (self._mg2, self._mg1, self._mrow1)):
+            m = (self._flat_pids[src_g] >= 0) & ~self._reg_mask[dst_row]
+            vis.append(dst_g[m])
+        if not vis:
+            return []
+        g_vis = np.unique(np.concatenate(vis))
+        if len(g_vis) == 0:
+            return []
+        rows = np.searchsorted(self._kp_off, g_vis, side="right") - 1
+        counts = np.bincount(rows, minlength=len(self._img_ids))
+        cand_rows = np.nonzero(counts > 0)[0]
+        # drop exhausted candidates, pre-rank by raw visible-feature count
+        cand_rows = [int(r) for r in cand_rows
+                     if self.num_reg_trials.get(int(self._img_ids[r]), 0)
+                     < self.options.max_reg_trials]
+        cand_rows.sort(key=lambda r: -counts[r])
+        cand_rows = cand_rows[: 4 * max_images]
+        # pyramid-score only the shortlist
+        order = np.argsort(rows, kind="stable")
+        rows_s, g_s = rows[order], g_vis[order]
+        bounds = {int(r): (np.searchsorted(rows_s, r),
+                           np.searchsorted(rows_s, r, side="right"))
+                  for r in cand_rows}
         scores = []
-        for r in range(len(self._img_ids)):
-            if self._reg_mask[r]:
-                continue
-            iid = int(self._img_ids[r])
-            if self.num_reg_trials.get(iid, 0) >= self.options.max_reg_trials:
-                continue
-            if not self._reg_mask[self._neighbors[r]].any():
-                continue
-            _, img_rows, feats, edge_feat = self._graph[r]
-            sel = self._reg_mask[img_rows]
-            if not sel.any():
-                continue
-            g_other = self._kp_off[img_rows[sel]] + feats[sel]
-            has_pt = self._flat_pids[g_other] >= 0
-            vis_feats = np.unique(edge_feat[sel][has_pt])
-            if len(vis_feats) == 0:
-                continue
-            scores.append((self._pyramid_score(r, vis_feats), iid))
+        for r in cand_rows:
+            a, b = bounds[r]
+            feats = g_s[a:b] - self._kp_off[r]
+            scores.append((self._pyramid_score(r, feats),
+                           int(self._img_ids[r])))
         scores.sort(reverse=True)
         return [iid for _, iid in scores[:max_images]]
 
@@ -793,38 +849,6 @@ class IncrementalMapper:
         return self._append_obs(rows[ok].astype(np.int32),
                                 feats[ok].astype(np.int32), pids[ok])
 
-    def _edges_of_obs(self, rows: np.ndarray, feats: np.ndarray):
-        """All correspondence-graph edges of the given (row, feat) queries.
-
-        Returns (query_idx, other_row, other_feat) — vectorized slicing of
-        the per-image CSR, grouped by image.
-        """
-        out_q, out_or, out_of = [], [], []
-        order = np.argsort(rows, kind="stable")
-        rows_s = rows[order]
-        bounds = np.searchsorted(rows_s, np.unique(rows_s))
-        bounds = np.append(bounds, len(rows_s))
-        for k in range(len(bounds) - 1):
-            sel = order[bounds[k]: bounds[k + 1]]
-            r = int(rows[sel[0]])
-            offsets, img_rows, feats_all, _ = self._graph[r]
-            f = feats[sel]
-            c0, c1 = offsets[f], offsets[f + 1]
-            cnt = c1 - c0
-            tot = int(cnt.sum())
-            if tot == 0:
-                continue
-            e = np.repeat(c0, cnt) + (np.arange(tot)
-                                      - np.repeat(np.cumsum(cnt) - cnt, cnt))
-            out_q.append(np.repeat(sel, cnt))
-            out_or.append(img_rows[e])
-            out_of.append(feats_all[e])
-
-        def cat(xs):
-            return np.concatenate(xs) if xs else np.zeros(0, np.int64)
-
-        return cat(out_q), cat(out_or), cat(out_of)
-
     def _obs_of_points(self, pids: np.ndarray):
         """Alive observation rows of the given points (via the CSR)."""
         offsets, rows_sorted = self._point_csr()
@@ -845,34 +869,44 @@ class IncrementalMapper:
     def complete_tracks(self, pids=None, max_transitivity: int = 3) -> int:
         """Extend tracks into already-registered images along correspondence
         edges, breadth-first (reference: IncrementalTriangulator::
-        CompleteTracks, incremental_triangulator.h:112, .cc Complete)."""
-        pids = self._live_pids(pids)
-        if len(pids) == 0:
+        CompleteTracks, incremental_triangulator.h:112, .cc Complete).
+
+        Each transitivity step is ONE vectorized pass over the global
+        match table: rows where exactly one side carries a (selected)
+        point and the other side's feature is free in a registered image
+        become Continue candidates.
+        """
+        sel_pids = None if pids is None else np.sort(self._live_pids(pids))
+        if sel_pids is not None and len(sel_pids) == 0:
             return 0
-        obs = self._obs_of_points(pids)
-        frontier_rows = self._obs_img_row[obs].astype(np.int64)
-        frontier_feats = self._obs_feat[obs].astype(np.int64)
-        frontier_pids = self._obs_pid[obs]
         n_total = 0
         for _ in range(max_transitivity):
-            if len(frontier_rows) == 0:
+            p1 = self._flat_pids[self._mg1]
+            p2 = self._flat_pids[self._mg2]
+            cand_rows, cand_feats, cand_pids = [], [], []
+            for src_p, dst_g, dst_row in ((p1, self._mg2, self._mrow2),
+                                          (p2, self._mg1, self._mrow1)):
+                m = (src_p >= 0) & (self._flat_pids[dst_g] < 0) \
+                    & self._reg_mask[dst_row]
+                if sel_pids is not None:
+                    idx = np.searchsorted(sel_pids, src_p[m])
+                    idx = np.clip(idx, 0, len(sel_pids) - 1)
+                    mm = sel_pids[idx] == src_p[m]
+                    sub = np.nonzero(m)[0][mm]
+                else:
+                    sub = np.nonzero(m)[0]
+                cand_rows.append(dst_row[sub])
+                cand_feats.append(dst_g[sub] - self._kp_off[dst_row[sub]])
+                cand_pids.append(src_p[sub])
+            rows = np.concatenate(cand_rows)
+            if len(rows) == 0:
                 break
-            q, orow, ofeat = self._edges_of_obs(frontier_rows, frontier_feats)
-            if len(q) == 0:
-                break
-            mask = self._reg_mask[orow]
-            mask &= self._flat_pids[self._kp_off[orow] + ofeat] < 0
-            q, orow, ofeat = q[mask], orow[mask], ofeat[mask]
-            before = self._num_obs
-            self._continue_tracks(
-                orow, ofeat, frontier_pids[q],
+            n_added = self._continue_tracks(
+                rows, np.concatenate(cand_feats), np.concatenate(cand_pids),
                 max_error=self.options.complete_max_reproj_error)
-            n_added = self._num_obs - before
             n_total += n_added
-            s = slice(before, self._num_obs)
-            frontier_rows = self._obs_img_row[s].astype(np.int64)
-            frontier_feats = self._obs_feat[s].astype(np.int64)
-            frontier_pids = self._obs_pid[s]
+            if n_added == 0:
+                break
         return n_total
 
     def merge_tracks(self, pids=None) -> int:
@@ -880,24 +914,26 @@ class IncrementalMapper:
         track-length-weighted merged point reprojects within threshold in
         EVERY observation of both tracks (reference: IncrementalTriangulator
         ::MergeTracks, incremental_triangulator.h:105, .cc TryMergeTracks).
-        Returns the number of points removed by merging."""
-        pids = self._live_pids(pids)
-        if len(pids) == 0:
-            return 0
-        obs = self._obs_of_points(pids)
-        rows = self._obs_img_row[obs].astype(np.int64)
-        feats = self._obs_feat[obs].astype(np.int64)
-        obs_pids = self._obs_pid[obs]
-        q, orow, ofeat = self._edges_of_obs(rows, feats)
-        if len(q) == 0:
-            return 0
-        pid2 = self._flat_pids[self._kp_off[orow] + ofeat]
-        pid1 = obs_pids[q]
-        mask = self._reg_mask[orow] & (pid2 >= 0) & (pid2 != pid1)
+        Candidate discovery is one vectorized pass over the global match
+        table. Returns the number of points removed by merging."""
+        p1_all = self._flat_pids[self._mg1]
+        p2_all = self._flat_pids[self._mg2]
+        mask = (p1_all >= 0) & (p2_all >= 0) & (p1_all != p2_all)
+        if pids is not None:
+            sel_pids = np.sort(self._live_pids(pids))
+            if len(sel_pids) == 0:
+                return 0
+
+            def in_sel(p):
+                idx = np.clip(np.searchsorted(sel_pids, p), 0,
+                              len(sel_pids) - 1)
+                return sel_pids[idx] == p
+
+            mask &= in_sel(p1_all) | in_sel(p2_all)
         if not mask.any():
             return 0
-        p1 = np.minimum(pid1[mask], pid2[mask])
-        p2 = np.maximum(pid1[mask], pid2[mask])
+        p1 = np.minimum(p1_all[mask], p2_all[mask])
+        p2 = np.maximum(p1_all[mask], p2_all[mask])
         key = p1 * (self._num_pts + 1) + p2
         _, first = np.unique(key, return_index=True)
         p1, p2 = p1[first], p2[first]
@@ -1217,10 +1253,17 @@ class IncrementalMapper:
         return problem, all_imgs, pids, cams
 
     def _apply_ba_result(self, state, all_imgs, pids, cams,
-                         update_intrinsics: bool = False):
-        flat = np.asarray(_pack_ba_state(state), np.float64)  # one transfer
-        P = state.problem.poses.shape[0]
-        C = state.problem.cam_params.shape[0]
+                         update_intrinsics: bool = False, shapes=None):
+        """`state` is either an LMState (packs + transfers here) or an
+        already-transferred flat vector from _solve_packed (with
+        shapes=(P, C))."""
+        if shapes is None:
+            flat = np.asarray(_pack_ba_state(state), np.float64)
+            P = state.problem.poses.shape[0]
+            C = state.problem.cam_params.shape[0]
+        else:
+            flat = np.asarray(state, np.float64)
+            P, C = shapes
         poses = flat[: P * 7].reshape(P, 7)
         cam_params = flat[P * 7: P * 7 + C * 12].reshape(C, 12)
         points = flat[P * 7 + C * 12:].reshape(-1, 3)
@@ -1257,8 +1300,10 @@ class IncrementalMapper:
                 camera_model_id=cam0.model_id,
                 refine_intrinsics=False,
             )
-        state = ba.solve(problem, ba_options)
-        self._apply_ba_result(state, all_imgs, pids, cams)
+        flat = _solve_packed(problem, ba_options)
+        self._apply_ba_result(flat, all_imgs, pids, cams,
+                              shapes=(problem.poses.shape[0],
+                                      problem.cam_params.shape[0]))
         return pids
 
     def adjust_global_bundle(self, refine_intrinsics: bool = False,
@@ -1288,9 +1333,11 @@ class IncrementalMapper:
                 camera_model_id=cam0.model_id,
                 refine_intrinsics=refine_intrinsics,
             )
-        state = ba.solve(problem, ba_options)
-        self._apply_ba_result(state, all_imgs, pids, cams,
-                              update_intrinsics=refine_intrinsics)
+        flat = _solve_packed(problem, ba_options)
+        self._apply_ba_result(flat, all_imgs, pids, cams,
+                              update_intrinsics=refine_intrinsics,
+                              shapes=(problem.poses.shape[0],
+                                      problem.cam_params.shape[0]))
         if refine_intrinsics:
             self.invalidate_focal_cache()
 
