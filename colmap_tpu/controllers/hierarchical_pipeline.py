@@ -151,16 +151,19 @@ class HierarchicalPipeline(BaseController):
 
         # joint refinement over the connected subgraph
         remap = {k: idx for idx, k in enumerate(connected)}
-        sub_edges = np.array([(remap[i], remap[j]) for (i, j) in edges
-                              if i in remap and j in remap], np.int64)
-        sub_meas = np.stack([m for (e, m) in zip(edges, meas)
-                             if e[0] in remap and e[1] in remap])
-        sub_w = np.array([w for (e, w) in zip(edges, weights)
-                          if e[0] in remap and e[1] in remap], np.float32)
+        kept = [(e, m, w) for (e, m, w) in zip(edges, meas, weights)
+                if e[0] in remap and e[1] in remap]
         init = np.stack([placement[k] for k in connected])
-        refined = pose_graph_mod.optimize_sim3_pose_graph(
-            init, sub_edges, sub_meas, sub_w,
-            num_iters=self.options.pose_graph_iters)
+        if kept:
+            sub_edges = np.array([(remap[i], remap[j]) for ((i, j), _, _)
+                                  in kept], np.int64)
+            sub_meas = np.stack([m for (_, m, _) in kept])
+            sub_w = np.array([w for (_, _, w) in kept], np.float32)
+            refined = pose_graph_mod.optimize_sim3_pose_graph(
+                init, sub_edges, sub_meas, sub_w,
+                num_iters=self.options.pose_graph_iters)
+        else:
+            refined = init
 
         # transform every cluster into the global frame, then fuse
         base = recs[connected[0]]

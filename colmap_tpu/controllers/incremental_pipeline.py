@@ -177,16 +177,19 @@ class IncrementalPipeline(BaseController):
             if self.next_image_callback is not None:
                 for iid in accepted:
                     self.next_image_callback(iid)
+            pts_before = mapper._num_pts
             self._timed("triangulate", mapper.triangulate_images, accepted)
             local_pids = self._timed("local_ba", mapper.adjust_local_bundle,
                                      accepted)
             # complete + merge the locally-adjusted tracks, then filter
             # only those (reference: IterativeLocalRefinement runs
             # CompleteAndMergeTracks + FilterPoints3DInImages; the full
-            # pass runs in global refinement)
+            # pass runs in global refinement). Merge scans only the
+            # round's NEW points — full merges run in global refinement.
+            new_pids = np.arange(pts_before, mapper._num_pts, dtype=np.int64)
             touched = self._timed("complete_merge",
                                   mapper.complete_and_merge_tracks,
-                                  local_pids)
+                                  local_pids, merge_pids=new_pids)
             self._timed("filter", mapper.filter_points, pids=touched)
             last_snapshot = self._maybe_snapshot(mapper, last_snapshot)
 
@@ -232,6 +235,11 @@ class IncrementalPipeline(BaseController):
                 refine_intrinsics=(self.options.ba_refine_focal_length
                                    and n_img >= 8))
             n_changed += self._timed("filter_global", mapper.filter_points)
+            dropped = mapper.filter_images()
+            if dropped:
+                logger.info("filtered %d images with bogus intrinsics / no "
+                            "points: %s", len(dropped), dropped)
+                n_changed += len(dropped)
             total_obs = max(int((mapper._obs_pid[: mapper._num_obs] >= 0).sum()),
                             1)
             change = n_changed / total_obs

@@ -79,6 +79,12 @@ class IncrementalMapperOptions:
     local_ba_num_images: int = 6
     min_track_len: int = 2
     max_reg_trials: int = 3
+    # image filtering (reference ObservationManager::FilterImages,
+    # observation_manager.h:144-160): deregister images whose refined
+    # intrinsics go bogus or that lost all their 3D points
+    min_focal_length_ratio: float = 0.1
+    max_focal_length_ratio: float = 10.0
+    max_extra_param: float = 1.0
     # registration batch: up to this many candidates PnP-register in one
     # vmapped device call per round (host decisions stay per-image)
     max_batch_size: int = 16
@@ -294,6 +300,17 @@ class IncrementalMapper:
                                       side="right") - 1
         self._mrow2 = np.searchsorted(self._kp_off, self._mg2,
                                       side="right") - 1
+        # g -> table-row index (both directions): subset passes
+        # (per-round complete/merge) touch only the rows of the queried
+        # features instead of scanning the whole table
+        self._mg1_order = np.argsort(self._mg1, kind="stable")
+        self._mg1_sorted = self._mg1[self._mg1_order]
+        self._mg2_order = np.argsort(self._mg2, kind="stable")
+        self._mg2_sorted = self._mg2[self._mg2_order]
+        # per-feature count of triangulated correspondence partners
+        # (reference: ObservationManager's incremental visibility
+        # bookkeeping feeding the next-image ranking)
+        self._feat_vis = np.zeros(total_kp, np.int32)
 
         # ---- point / observation store ----------------------------------
         self._xyz = np.zeros((1024, 3), np.float64)
@@ -440,9 +457,34 @@ class IncrementalMapper:
         self._num_obs += n
         self._flat_pids[g] = pids
         np.add.at(self._track_len, pids, 1)
+        self._bump_feat_vis(g, +1)
         self._csr_cache = None
         self._seen_keys = None
         return n
+
+    def _table_rows_for_g(self, gs: np.ndarray):
+        """Table rows whose side-1 / side-2 feature is in `gs`."""
+        gs = np.unique(gs)
+        out = []
+        for sorted_g, order in ((self._mg1_sorted, self._mg1_order),
+                                (self._mg2_sorted, self._mg2_order)):
+            lo = np.searchsorted(sorted_g, gs)
+            hi = np.searchsorted(sorted_g, gs, side="right")
+            cnt = hi - lo
+            tot = int(cnt.sum())
+            idx = np.repeat(lo, cnt) + (
+                np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt))
+            out.append(order[idx])
+        return out[0], out[1]
+
+    def _bump_feat_vis(self, gs: np.ndarray, delta: int):
+        """Incremental partner-visibility counters for the features
+        corresponding to gained/lost observations."""
+        r1, r2 = self._table_rows_for_g(gs)
+        if len(r1):
+            np.add.at(self._feat_vis, self._mg2[r1], delta)
+        if len(r2):
+            np.add.at(self._feat_vis, self._mg1[r2], delta)
 
     def _point_sees_image(self, pids: np.ndarray, img_rows: np.ndarray
                           ) -> np.ndarray:
@@ -487,6 +529,7 @@ class IncrementalMapper:
         self._flat_pids[g[keep]] = -1
         self._obs_pid[rows] = -1
         np.subtract.at(self._track_len, pids, 1)
+        self._bump_feat_vis(g[keep], -1)
         self._csr_cache = None
         self._seen_keys = None
 
@@ -658,22 +701,16 @@ class IncrementalMapper:
         correspondences touch an existing 3D point, weighted by spatial
         spread over a multi-level grid (reference: VisibilityPyramid,
         scene/visibility_pyramid.h:51; ObservationManager ranking).
-        Candidate discovery is one vectorized pass over the global match
-        table; the pyramid score runs only on the best candidates.
+        Candidate counts come from the incrementally maintained
+        per-feature visibility counters (no per-call scan of the match
+        table); the pyramid score runs only on the best candidates.
         """
-        # features (in unregistered images) whose partner carries a point
-        vis = []
-        for src_g, dst_g, dst_row in ((self._mg1, self._mg2, self._mrow2),
-                                      (self._mg2, self._mg1, self._mrow1)):
-            m = (self._flat_pids[src_g] >= 0) & ~self._reg_mask[dst_row]
-            vis.append(dst_g[m])
-        if not vis:
-            return []
-        g_vis = np.unique(np.concatenate(vis))
+        g_vis = np.nonzero(self._feat_vis > 0)[0]
         if len(g_vis) == 0:
             return []
         rows = np.searchsorted(self._kp_off, g_vis, side="right") - 1
         counts = np.bincount(rows, minlength=len(self._img_ids))
+        counts[self._reg_mask] = 0
         cand_rows = np.nonzero(counts > 0)[0]
         # drop exhausted candidates, pre-rank by raw visible-feature count
         cand_rows = [int(r) for r in cand_rows
@@ -681,16 +718,10 @@ class IncrementalMapper:
                      < self.options.max_reg_trials]
         cand_rows.sort(key=lambda r: -counts[r])
         cand_rows = cand_rows[: 4 * max_images]
-        # pyramid-score only the shortlist
-        order = np.argsort(rows, kind="stable")
-        rows_s, g_s = rows[order], g_vis[order]
-        bounds = {int(r): (np.searchsorted(rows_s, r),
-                           np.searchsorted(rows_s, r, side="right"))
-                  for r in cand_rows}
         scores = []
         for r in cand_rows:
-            a, b = bounds[r]
-            feats = g_s[a:b] - self._kp_off[r]
+            feats = np.nonzero(
+                self._feat_vis[self._kp_off[r]: self._kp_off[r + 1]] > 0)[0]
             scores.append((self._pyramid_score(r, feats),
                            int(self._img_ids[r])))
         scores.sort(reverse=True)
@@ -866,70 +897,85 @@ class IncrementalMapper:
         return pids[(pids >= 0) & (pids < self._num_pts)
                     & (self._track_len[safe] > 0)]
 
-    def complete_tracks(self, pids=None, max_transitivity: int = 3) -> int:
+    def complete_tracks(self, pids=None, max_transitivity: int = 2) -> int:
         """Extend tracks into already-registered images along correspondence
         edges, breadth-first (reference: IncrementalTriangulator::
         CompleteTracks, incremental_triangulator.h:112, .cc Complete).
 
-        Each transitivity step is ONE vectorized pass over the global
-        match table: rows where exactly one side carries a (selected)
-        point and the other side's feature is free in a registered image
-        become Continue candidates.
+        Completion is always global (the reference restricts to modified
+        points to bound C++ loop costs; here the incremental visibility
+        counters make the candidate set = free-but-visible features, which
+        is small and shrinks as tracks complete). `pids` is accepted for
+        API parity and ignored.
         """
-        sel_pids = None if pids is None else np.sort(self._live_pids(pids))
-        if sel_pids is not None and len(sel_pids) == 0:
-            return 0
         n_total = 0
         for _ in range(max_transitivity):
-            p1 = self._flat_pids[self._mg1]
-            p2 = self._flat_pids[self._mg2]
-            cand_rows, cand_feats, cand_pids = [], [], []
-            for src_p, dst_g, dst_row in ((p1, self._mg2, self._mrow2),
-                                          (p2, self._mg1, self._mrow1)):
-                m = (src_p >= 0) & (self._flat_pids[dst_g] < 0) \
-                    & self._reg_mask[dst_row]
-                if sel_pids is not None:
-                    idx = np.searchsorted(sel_pids, src_p[m])
-                    idx = np.clip(idx, 0, len(sel_pids) - 1)
-                    mm = sel_pids[idx] == src_p[m]
-                    sub = np.nonzero(m)[0][mm]
-                else:
-                    sub = np.nonzero(m)[0]
-                cand_rows.append(dst_row[sub])
-                cand_feats.append(dst_g[sub] - self._kp_off[dst_row[sub]])
-                cand_pids.append(src_p[sub])
-            rows = np.concatenate(cand_rows)
-            if len(rows) == 0:
+            # candidates = FREE features with a triangulated partner — the
+            # incrementally maintained _feat_vis counters make this an
+            # O(#features) scan, and the set shrinks as tracks complete
+            g_cand = np.nonzero((self._flat_pids < 0)
+                                & (self._feat_vis > 0))[0]
+            if len(g_cand) == 0:
                 break
+            rows = np.searchsorted(self._kp_off, g_cand, side="right") - 1
+            reg = self._reg_mask[rows]
+            g_cand, rows = g_cand[reg], rows[reg]
+            if len(g_cand) == 0:
+                break
+            r1, r2 = self._table_rows_for_g(g_cand)
+            dst_list, pid_list = [], []
+            for ridx, dst_arr, partner_arr in ((r1, self._mg1, self._mg2),
+                                               (r2, self._mg2, self._mg1)):
+                pp = self._flat_pids[partner_arr[ridx]]
+                m = pp >= 0
+                dst_list.append(dst_arr[ridx][m])
+                pid_list.append(pp[m])
+            dst = np.concatenate(dst_list)
+            if len(dst) == 0:
+                break
+            src_pids = np.concatenate(pid_list)
+            rows_d = np.searchsorted(self._kp_off, dst, side="right") - 1
             n_added = self._continue_tracks(
-                rows, np.concatenate(cand_feats), np.concatenate(cand_pids),
+                rows_d, dst - self._kp_off[rows_d], src_pids,
                 max_error=self.options.complete_max_reproj_error)
             n_total += n_added
             if n_added == 0:
                 break
         return n_total
 
+    def _table_view(self, pids=None):
+        """The global match table, restricted (via the g->row index) to
+        rows touching the given points' observations when `pids` is set."""
+        if pids is None:
+            return self._mg1, self._mg2, self._mrow1, self._mrow2
+        live = self._live_pids(pids)
+        if len(live) == 0:
+            z = np.zeros(0, np.int64)
+            return z, z, z, z
+        # a subset covering most points costs more to build than the full
+        # scan it would save
+        if len(live) > 0.3 * max(self.num_points3D(), 1):
+            return self._mg1, self._mg2, self._mrow1, self._mrow2
+        obs = self._obs_of_points(live)
+        gs = self._kp_off[self._obs_img_row[obs]] + self._obs_feat[obs]
+        r1, r2 = self._table_rows_for_g(gs)
+        idx = np.unique(np.concatenate([r1, r2]))
+        return (self._mg1[idx], self._mg2[idx],
+                self._mrow1[idx], self._mrow2[idx])
+
     def merge_tracks(self, pids=None) -> int:
         """Merge pairs of points linked by a correspondence edge when the
         track-length-weighted merged point reprojects within threshold in
         EVERY observation of both tracks (reference: IncrementalTriangulator
         ::MergeTracks, incremental_triangulator.h:105, .cc TryMergeTracks).
-        Candidate discovery is one vectorized pass over the global match
+        Candidate discovery is one vectorized pass over the (subset) match
         table. Returns the number of points removed by merging."""
-        p1_all = self._flat_pids[self._mg1]
-        p2_all = self._flat_pids[self._mg2]
+        mg1, mg2, _, _ = self._table_view(pids)
+        if len(mg1) == 0:
+            return 0
+        p1_all = self._flat_pids[mg1]
+        p2_all = self._flat_pids[mg2]
         mask = (p1_all >= 0) & (p2_all >= 0) & (p1_all != p2_all)
-        if pids is not None:
-            sel_pids = np.sort(self._live_pids(pids))
-            if len(sel_pids) == 0:
-                return 0
-
-            def in_sel(p):
-                idx = np.clip(np.searchsorted(sel_pids, p), 0,
-                              len(sel_pids) - 1)
-                return sel_pids[idx] == p
-
-            mask &= in_sel(p1_all) | in_sel(p2_all)
         if not mask.any():
             return 0
         p1 = np.minimum(p1_all[mask], p2_all[mask])
@@ -1004,12 +1050,16 @@ class IncrementalMapper:
                          np.concatenate(pid_all))
         return len(merges)
 
-    def complete_and_merge_tracks(self, pids=None) -> np.ndarray:
+    def complete_and_merge_tracks(self, pids=None, merge_pids=None
+                                  ) -> np.ndarray:
         """Complete then merge (reference: CompleteAndMergeTracks inside
-        local/global refinement). Returns the live pids touched."""
+        local/global refinement). `merge_pids` restricts the merge scan
+        (the per-round path passes just the round's new points — a full
+        merge scan costs a whole match-table pass). Returns the live pids
+        touched."""
         before = self._num_pts
         self.complete_tracks(pids)
-        self.merge_tracks(pids)
+        self.merge_tracks(merge_pids if merge_pids is not None else pids)
         if pids is None:
             return self._live_pids(None)
         touched = np.concatenate([
@@ -1428,6 +1478,62 @@ class IncrementalMapper:
         self._delete_points(dead)
         num_filtered += len(dead)
         return num_filtered
+
+    def filter_images(self) -> List[int]:
+        """Deregister images with no triangulated points or bogus refined
+        intrinsics (reference: ObservationManager::FilterImages,
+        observation_manager.h:144-160 — focal ratio out of
+        [min, max]_focal_length_ratio vs the prior focal, or any extra
+        param beyond max_extra_param). Returns the deregistered ids."""
+        if len(self.registered) <= 2:
+            return []
+        # bogus-intrinsics check per camera (vs the DB prior focal)
+        bogus_cam: Dict[int, bool] = {}
+        for cid, cam in self.rec.cameras.items():
+            prior = self._db_cam_params[cid]
+            mid = camera_models.CameraModelId(cam.model_id)
+            i_fx, i_fy, i_cx, i_cy = camera_models._FXFY_CXCY[mid]
+            prior_f = 0.5 * (prior[i_fx] + prior[i_fy])
+            f = cam.mean_focal_length()
+            ratio = f / max(prior_f, 1e-9)
+            n = camera_models.NUM_PARAMS[mid]
+            non_extra = {i_fx, i_fy, i_cx, i_cy}
+            extra = np.asarray([cam.params[i] for i in range(n)
+                                if i not in non_extra], np.float64)
+            bogus_cam[cid] = (
+                ratio < self.options.min_focal_length_ratio
+                or ratio > self.options.max_focal_length_ratio
+                or (extra.size > 0
+                    and np.abs(extra).max() > self.options.max_extra_param))
+
+        # triangulated-point counts per image: one pass over alive obs
+        counts = np.zeros(len(self._img_ids), np.int64)
+        alive = self._obs_pid[: self._num_obs] >= 0
+        np.add.at(counts, self._obs_img_row[: self._num_obs][alive], 1)
+
+        dropped = []
+        for iid in list(self.registered):
+            r = self._row_of[iid]
+            if counts[r] == 0 or bogus_cam[int(self._cam_of_row[r])]:
+                dropped.append(iid)
+        # never drop below a 2-image model; bogus intrinsics affect whole
+        # cameras — deregistering every image would delete the model
+        if len(self.registered) - len(dropped) < 2:
+            dropped = [iid for iid in dropped
+                       if counts[self._row_of[iid]] == 0]
+        for iid in dropped:
+            self._deregister_image(iid)
+        return dropped
+
+    def _deregister_image(self, image_id: int):
+        r = self._row_of[image_id]
+        # drop all its observations
+        sel = np.nonzero((self._obs_img_row[: self._num_obs] == r)
+                         & (self._obs_pid[: self._num_obs] >= 0))[0]
+        self._remove_obs(sel)
+        self._reg_mask[r] = False
+        self.rec.images[image_id].cam_from_world = None
+        self.registered.remove(image_id)
 
     # ------------------------------------------------------------------
     # import/export

@@ -98,3 +98,30 @@ def test_pipeline_track_lengths_with_noise_and_outliers():
     obs = rec.compute_mean_observations_per_reg_image()
     gt_obs = gt.compute_mean_observations_per_reg_image()
     assert obs > 0.85 * gt_obs, (obs, gt_obs)
+
+
+def test_filter_images_bogus_intrinsics_and_empty():
+    """ObservationManager::FilterImages parity: images lose registration
+    when their camera's refined focal drifts out of ratio bounds or all
+    their points vanish (reference observation_manager.h:144-160)."""
+    gt, mapper = make_mapper(SyntheticDatasetOptions(
+        num_images=6, num_points3D=60, num_cameras=3, seed=5))
+    # seed tracks so every image has points
+    for pt in gt.points3D.values():
+        mapper.add_point(pt.xyz, sorted(pt.track))
+    assert mapper.filter_images() == []
+
+    # make one camera's focal bogus (20x the prior)
+    victim_iid = mapper.registered[-1]
+    cid = mapper.cache.images[victim_iid].camera_id
+    mapper.rec.cameras[cid].params = np.array(
+        mapper.rec.cameras[cid].params, np.float64)
+    mapper.rec.cameras[cid].params[0] *= 20.0
+    dropped = mapper.filter_images()
+    assert victim_iid in dropped
+    assert victim_iid not in mapper.registered
+    assert not mapper.rec.images[victim_iid].registered
+    # its observations are gone
+    r = mapper._row_of[victim_iid]
+    alive = mapper._obs_pid[: mapper._num_obs] >= 0
+    assert not (mapper._obs_img_row[: mapper._num_obs][alive] == r).any()
