@@ -40,6 +40,50 @@ _SECTIONS = {
 _SCALARS = (int, float, bool, str)
 
 
+def _scalar_items(obj, prefix: str = ""):
+    """Scalar option fields, flattening ONE level of nested dataclasses
+    (the reference exposes nested mapper options in the same flat
+    namespace, e.g. --Mapper.init_min_num_inliers)."""
+    out = []
+    seen = set()
+    for f in dataclasses.fields(obj):
+        v = getattr(obj, f.name)
+        if isinstance(v, _SCALARS):
+            out.append((prefix + f.name, v))
+            seen.add(prefix + f.name)
+    for f in dataclasses.fields(obj):
+        v = getattr(obj, f.name)
+        if dataclasses.is_dataclass(v) and not prefix:
+            for name, val in _scalar_items(v, prefix=""):
+                # parent scalars win on name collisions
+                if name not in seen:
+                    out.append((name, val))
+                    seen.add(name)
+    return out
+
+
+def _apply_updates(obj, updates):
+    """Apply flat-name updates, routing nested-dataclass fields."""
+    own = {f.name for f in dataclasses.fields(obj)
+           if isinstance(getattr(obj, f.name), _SCALARS)}
+    direct = {k: v for k, v in updates.items() if k in own}
+    rest = {k: v for k, v in updates.items() if k not in own}
+    for f in dataclasses.fields(obj):
+        v = getattr(obj, f.name)
+        if dataclasses.is_dataclass(v) and rest:
+            sub = {k: val for k, val in rest.items()
+                   if k in {g.name for g in dataclasses.fields(v)}}
+            if sub:
+                direct[f.name] = _apply_updates(v, sub)
+    if not direct:
+        return obj
+    if getattr(obj, "__dataclass_params__").frozen:
+        return dataclasses.replace(obj, **direct)
+    for k, v in direct.items():
+        setattr(obj, k, v)
+    return obj
+
+
 class OptionManager:
     """Holds one instance of every subsystem's options + top-level paths."""
 
@@ -64,16 +108,13 @@ class OptionManager:
         parser.add_argument("--database_path", type=str, default=None)
         parser.add_argument("--image_path", type=str, default=None)
         for section, obj in self.options.items():
-            for f in dataclasses.fields(obj):
-                if not isinstance(getattr(obj, f.name, None), _SCALARS):
-                    continue
-                typ = type(getattr(obj, f.name))
-                arg = f"--{section}.{f.name}"
-                if typ is bool:
+            for name, val in _scalar_items(obj):
+                arg = f"--{section}.{name}"
+                if isinstance(val, bool):
                     parser.add_argument(arg, type=lambda v: v.lower() in
                                         ("1", "true", "yes"), default=None)
                 else:
-                    parser.add_argument(arg, type=typ, default=None)
+                    parser.add_argument(arg, type=type(val), default=None)
 
     def parse_args(self, args: argparse.Namespace):
         ns = vars(args)
@@ -84,17 +125,11 @@ class OptionManager:
                 setattr(self, key, ns[key])
         for section in self.options:
             obj = self.options[section]
-            updates = {}
-            for f in dataclasses.fields(obj):
-                v = ns.get(f"{section}.{f.name}")
-                if v is not None:
-                    updates[f.name] = v
+            updates = {name: ns.get(f"{section}.{name}")
+                       for name, _ in _scalar_items(obj)
+                       if ns.get(f"{section}.{name}") is not None}
             if updates:
-                if getattr(obj, "__dataclass_params__").frozen:
-                    self.options[section] = dataclasses.replace(obj, **updates)
-                else:
-                    for k, v in updates.items():
-                        setattr(obj, k, v)
+                self.options[section] = _apply_updates(obj, updates)
 
     # -- ini project files -----------------------------------------------------
 
@@ -107,10 +142,8 @@ class OptionManager:
             cp["root"]["image_path"] = self.image_path
         for section, obj in self.options.items():
             cp[section] = {}
-            for f in dataclasses.fields(obj):
-                v = getattr(obj, f.name)
-                if isinstance(v, _SCALARS):
-                    cp[section][f.name] = str(v)
+            for name, v in _scalar_items(obj):
+                cp[section][name] = str(v)
         with open(path, "w") as fp:
             cp.write(fp)
 
@@ -126,22 +159,17 @@ class OptionManager:
             if not cp.has_section(section):
                 continue
             updates = {}
-            for f in dataclasses.fields(obj):
-                if not cp.has_option(section, f.name):
+            for name, cur in _scalar_items(obj):
+                if not cp.has_option(section, name):
                     continue
-                cur = getattr(obj, f.name)
-                raw = cp[section][f.name]
+                raw = cp[section][name]
                 if isinstance(cur, bool):
-                    updates[f.name] = raw.lower() in ("1", "true", "yes")
+                    updates[name] = raw.lower() in ("1", "true", "yes")
                 elif isinstance(cur, int):
-                    updates[f.name] = int(raw)
+                    updates[name] = int(raw)
                 elif isinstance(cur, float):
-                    updates[f.name] = float(raw)
+                    updates[name] = float(raw)
                 elif isinstance(cur, str):
-                    updates[f.name] = raw
+                    updates[name] = raw
             if updates:
-                if getattr(obj, "__dataclass_params__").frozen:
-                    self.options[section] = dataclasses.replace(obj, **updates)
-                else:
-                    for k, v in updates.items():
-                        setattr(obj, k, v)
+                self.options[section] = _apply_updates(obj, updates)
