@@ -93,6 +93,21 @@ class HierarchicalPipeline(BaseController):
                 recs.append(rec)
         return recs
 
+    def _placement_ok(self, base: Reconstruction, rec: Reconstruction
+                      ) -> bool:
+        """Do the common registered images of `rec` (already transformed
+        into the global frame) agree with `base` on projection centers?
+        Median error gate at align_max_error; no common images counts as
+        NOT validated (the robust fallback can still align via points)."""
+        common = sorted(set(base.registered_image_ids())
+                        & set(rec.registered_image_ids()))
+        if not common:
+            return False
+        a = np.stack([base.images[i].projection_center() for i in common])
+        b = np.stack([rec.images[i].projection_center() for i in common])
+        err = np.linalg.norm(a - b, axis=1)
+        return float(np.median(err)) <= self.options.align_max_error
+
     def _merge_with_pose_graph(self, recs: List[Reconstruction]
                                ) -> Reconstruction:
         """Pairwise Sim3 edges -> joint pose-graph refinement -> fuse."""
@@ -172,10 +187,24 @@ class HierarchicalPipeline(BaseController):
         for idx in range(1, len(connected)):
             rec = recs[connected[idx]]
             rec.transform(refined[idx])
-            # already placed: merge with an identity alignment but keep the
-            # robust common-image check inside merge_reconstructions
-            if not alignment_mod.merge_reconstructions(
-                    base, rec, precomputed_sim3=identity):
+            # VALIDATE the pose-graph placement before fusing: the
+            # precomputed-identity path skips merge_reconstructions'
+            # internal alignment entirely, so one bad placement (e.g. a
+            # weak 3-common-image edge) would silently corrupt the fused
+            # model. Check common-image projection-center agreement and
+            # fall back to robust re-alignment when it fails (reference:
+            # RANSAC-gated MergeReconstructions, estimators/alignment.cc).
+            if self._placement_ok(base, rec):
+                ok = alignment_mod.merge_reconstructions(
+                    base, rec, precomputed_sim3=identity)
+            else:
+                logger.warning(
+                    "cluster %d pose-graph placement fails the proj-center "
+                    "check; re-aligning robustly", connected[idx])
+                ok = alignment_mod.merge_reconstructions(
+                    base, rec,
+                    max_proj_center_error=self.options.align_max_error)
+            if not ok:
                 logger.warning("cluster %d failed to fuse", connected[idx])
         # unreachable clusters: greedy fallback against the fused base
         # (the enlarged overlap may now align where pairwise edges could

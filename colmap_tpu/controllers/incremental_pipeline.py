@@ -187,9 +187,16 @@ class IncrementalPipeline(BaseController):
             # pass runs in global refinement). Merge scans only the
             # round's NEW points — full merges run in global refinement.
             new_pids = np.arange(pts_before, mapper._num_pts, dtype=np.int64)
+            # the round's NEW points join the touched set explicitly: a
+            # point created between classification and _add_points_bulk in
+            # the same triangulate_images call may not appear in local_pids,
+            # and the local filter must see it before it feeds PnP/local BA
             touched = self._timed("complete_merge",
                                   mapper.complete_and_merge_tracks,
-                                  local_pids, merge_pids=new_pids)
+                                  np.concatenate([np.asarray(local_pids,
+                                                             np.int64),
+                                                  new_pids]),
+                                  merge_pids=new_pids)
             self._timed("filter", mapper.filter_points, pids=touched)
             last_snapshot = self._maybe_snapshot(mapper, last_snapshot)
 

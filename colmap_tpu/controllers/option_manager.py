@@ -40,30 +40,35 @@ _SECTIONS = {
 _SCALARS = (int, float, bool, str)
 
 
-def _scalar_items(obj, prefix: str = ""):
-    """Scalar option fields, flattening ONE level of nested dataclasses
-    (the reference exposes nested mapper options in the same flat
-    namespace, e.g. --Mapper.init_min_num_inliers)."""
+def _scalar_items(obj, _depth: int = 0):
+    """Scalar option fields, flattening exactly ONE level of nested
+    dataclasses (the reference exposes nested mapper options in the same
+    flat namespace, e.g. --Mapper.init_min_num_inliers). Name collisions:
+    parent scalars win, then the FIRST nested dataclass in field order."""
     out = []
     seen = set()
     for f in dataclasses.fields(obj):
         v = getattr(obj, f.name)
         if isinstance(v, _SCALARS):
-            out.append((prefix + f.name, v))
-            seen.add(prefix + f.name)
-    for f in dataclasses.fields(obj):
-        v = getattr(obj, f.name)
-        if dataclasses.is_dataclass(v) and not prefix:
-            for name, val in _scalar_items(v, prefix=""):
-                # parent scalars win on name collisions
-                if name not in seen:
-                    out.append((name, val))
-                    seen.add(name)
+            out.append((f.name, v))
+            seen.add(f.name)
+    if _depth == 0:
+        for f in dataclasses.fields(obj):
+            v = getattr(obj, f.name)
+            if dataclasses.is_dataclass(v):
+                for name, val in _scalar_items(v, _depth=1):
+                    if name not in seen:
+                        out.append((name, val))
+                        seen.add(name)
     return out
 
 
 def _apply_updates(obj, updates):
-    """Apply flat-name updates, routing nested-dataclass fields."""
+    """Apply flat-name updates; each key routes to AT MOST one target —
+    the parent scalar if it exists, else the first nested dataclass (in
+    field order) that has the field, mirroring the _scalar_items collision
+    rule. A collision between two sub-option groups must not update both
+    from one flag."""
     own = {f.name for f in dataclasses.fields(obj)
            if isinstance(getattr(obj, f.name), _SCALARS)}
     direct = {k: v for k, v in updates.items() if k in own}
@@ -71,10 +76,13 @@ def _apply_updates(obj, updates):
     for f in dataclasses.fields(obj):
         v = getattr(obj, f.name)
         if dataclasses.is_dataclass(v) and rest:
-            sub = {k: val for k, val in rest.items()
-                   if k in {g.name for g in dataclasses.fields(v)}}
+            sub_fields = {g.name for g in dataclasses.fields(v)
+                          if isinstance(getattr(v, g.name), _SCALARS)}
+            sub = {k: val for k, val in rest.items() if k in sub_fields}
             if sub:
                 direct[f.name] = _apply_updates(v, sub)
+                for k in sub:  # consumed: later siblings never see it
+                    del rest[k]
     if not direct:
         return obj
     if getattr(obj, "__dataclass_params__").frozen:

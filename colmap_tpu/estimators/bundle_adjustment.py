@@ -318,10 +318,10 @@ class LMState(NamedTuple):
     lam: jax.Array
     cost: jax.Array
     iteration: jax.Array
-    # |trial_cost - cost| / cost of the LAST trial step (accepted or not):
-    # the convergence signal for function_tolerance termination. A rejected
-    # step with negligible cost change means the damped step has shrunk to
-    # nothing — the stationary-point analog of ceres' termination.
+    # |trial_cost - cost| / cost of the last ACCEPTED step; inf after a
+    # rejected step (ceres evaluates function_tolerance only on successful
+    # steps — a rejected near-zero-change trial must raise lambda and
+    # retry, the lam-saturation check covers the truly-stuck case).
     rel_change: jax.Array = None
 
 
@@ -520,12 +520,17 @@ def lm_step(state: LMState, options: BAOptions, axis_name: Optional[str] = None)
 
     next_problem = pick(trial, problem)
     next_cost = jnp.where(accept, new_cost, cur_cost)
+    # function_tolerance is evaluated on ACCEPTED steps only (ceres
+    # semantics): a REJECTED trial whose cost happens to land within tol of
+    # the current cost means the damped step shrank to nothing — LM must
+    # raise lambda and retry, not terminate. Rejected steps report inf.
+    rel = jnp.abs(cur_cost - new_cost) / jnp.maximum(cur_cost, 1e-20)
     return LMState(
         problem=next_problem,
         lam=lam_new,
         cost=next_cost,
         iteration=state.iteration + 1,
-        rel_change=jnp.abs(cur_cost - new_cost) / jnp.maximum(cur_cost, 1e-20),
+        rel_change=jnp.where(accept, rel, jnp.asarray(jnp.inf, rel.dtype)),
     )
 
 

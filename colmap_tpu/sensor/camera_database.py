@@ -45,8 +45,17 @@ def query_sensor_width(make: str, model: str) -> Optional[float]:
     """Sensor width in mm, or None when no unique match exists."""
     cleaned_make = _clean(make)
     cleaned_model = _clean(model)
-    if not cleaned_make and not cleaned_model:
+    if not cleaned_model:
         return None
+    if not cleaned_make:
+        # empty make would vacuously substring-match EVERY manufacturer
+        # (the reference requires the make to actually match,
+        # sensor/database.cc:40-85) — accept only a unique EXACT model
+        # match across the whole table
+        specs = load_specs()
+        hits = [w for models in specs.values()
+                for db_model, w in models if db_model == cleaned_model]
+        return hits[0] if len(hits) == 1 else None
     cleaned_model = cleaned_model.replace(cleaned_make, "")
 
     specs = load_specs()

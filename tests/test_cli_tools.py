@@ -178,6 +178,51 @@ def test_project_generator_roundtrip(tmp_path):
     assert om.SiftExtraction.max_num_features == 1234
 
 
+def test_option_manager_flat_key_routes_once():
+    """A flat key shared by several nested option groups must update only
+    ONE of them (first in field order), mirroring _scalar_items' collision
+    rule — not silently update both."""
+    import dataclasses as dc
+
+    from colmap_tpu.controllers.option_manager import (
+        _apply_updates,
+        _scalar_items,
+    )
+
+    @dc.dataclass
+    class SubA:
+        shared: int = 1
+        only_a: int = 10
+
+    @dc.dataclass
+    class SubB:
+        shared: int = 2
+        deep_only: int = 20
+
+    @dc.dataclass
+    class SubC:
+        nested: SubB = dc.field(default_factory=SubB)
+
+    @dc.dataclass
+    class Top:
+        own: int = 0
+        a: SubA = dc.field(default_factory=SubA)
+        b: SubB = dc.field(default_factory=SubB)
+        c: SubC = dc.field(default_factory=SubC)
+
+    top = _apply_updates(Top(), {"shared": 99, "own": 5})
+    assert top.own == 5
+    assert top.a.shared == 99  # first nested group wins
+    assert top.b.shared == 2   # sibling untouched
+    # flattening is exactly ONE level deep: SubB.deep_only under SubC is
+    # not exposed, and not updated
+    names = [n for n, _ in _scalar_items(Top())]
+    assert "deep_only" in names          # b.deep_only (level 1)
+    assert names.count("shared") == 1    # collision collapsed
+    top2 = _apply_updates(Top(), {"nested": 1})  # no scalar target
+    assert top2.c.nested.shared == 2
+
+
 def test_api_bundle_adjustment(gt_model, rng):
     """pycolmap-parity bundle_adjustment: perturb poses+points, recover."""
     import copy

@@ -175,6 +175,15 @@ def test_camera_database_sensor_widths():
     # unknown model -> None (no unique match)
     assert query_sensor_width("Canon", "definitely-not-a-camera-xyz") is None
     assert query_sensor_width("", "") is None
+    # empty make must NOT vacuously substring-match every manufacturer:
+    # only an exact unique model match resolves without a make ("OS 5DS R"
+    # is a substring of Canon's eos5dsr but not exact -> None)
+    assert query_sensor_width("", "OS 5DS R") is None
+    # ... but an exact unique model match without make still resolves
+    assert query_sensor_width("", "D90") == \
+        query_sensor_width("NIKON CORPORATION", "NIKON D90")
+    # empty model never matches
+    assert query_sensor_width("Canon", "") is None
 
 
 def test_exif_focal_from_sensor_db(tmp_path):
