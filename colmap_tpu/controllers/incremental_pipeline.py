@@ -60,6 +60,12 @@ class IncrementalPipelineOptions:
     # snapshots (reference: snapshot_path / snapshot_images_freq)
     snapshot_path: Optional[str] = None
     snapshot_images_freq: int = 0
+    # failure containment on long runs: a device-side error (tunnel worker
+    # crash, transient UNAVAILABLE/INTERNAL, HBM pressure) must not lose
+    # hours of mapping — the round is retried after a cooldown and the
+    # model is snapshotted with the captured traceback. 0 disables.
+    max_round_retries: int = 3
+    retry_cooldown_s: float = 60.0
 
 
 class IncrementalPipeline(BaseController):
@@ -151,64 +157,43 @@ class IncrementalPipeline(BaseController):
         last_global_images = max(len(mapper.registered), 2)
         last_global_points = max(mapper.num_points3D(), 1)
         last_snapshot = 0
+        retries = 0
 
         while True:
             if self.check_if_stopped():
                 break
-            # round-based registration: PnP-register up to ~10% of the
-            # current model in ONE vmapped device call, then triangulate
-            # the whole round in one batch and local-BA the union. The
-            # growth-triggered global refinements keep the same cadence as
-            # the reference's per-image loop (ratio 1.1).
-            n_reg = len(mapper.registered)
-            batch = max(1, min(self.options.mapper.max_batch_size,
-                               n_reg // 10))
-            candidates = [i for i in self._timed(
-                "find_next", mapper.find_next_images,
-                max_images=2 * batch + 10) if i not in exclude_images][:batch]
-            if not candidates:
-                break
-            accepted = self._timed("register", mapper.register_next_images,
-                                   candidates)
-            if not accepted:
-                continue  # trials are bounded by max_reg_trials
-            logger.info("registered %d image(s) (#%d): %s", len(accepted),
-                        len(mapper.registered), accepted)
-            if self.next_image_callback is not None:
-                for iid in accepted:
-                    self.next_image_callback(iid)
-            pts_before = mapper._num_pts
-            self._timed("triangulate", mapper.triangulate_images, accepted)
-            local_pids = self._timed("local_ba", mapper.adjust_local_bundle,
-                                     accepted)
-            # complete + merge the locally-adjusted tracks, then filter
-            # only those (reference: IterativeLocalRefinement runs
-            # CompleteAndMergeTracks + FilterPoints3DInImages; the full
-            # pass runs in global refinement). Merge scans only the
-            # round's NEW points — full merges run in global refinement.
-            new_pids = np.arange(pts_before, mapper._num_pts, dtype=np.int64)
-            # the round's NEW points join the touched set explicitly: a
-            # point created between classification and _add_points_bulk in
-            # the same triangulate_images call may not appear in local_pids,
-            # and the local filter must see it before it feeds PnP/local BA
-            touched = self._timed("complete_merge",
-                                  mapper.complete_and_merge_tracks,
-                                  np.concatenate([np.asarray(local_pids,
-                                                             np.int64),
-                                                  new_pids]),
-                                  merge_pids=new_pids)
-            self._timed("filter", mapper.filter_points, pids=touched)
-            last_snapshot = self._maybe_snapshot(mapper, last_snapshot)
+            try:
+                status = self._map_round(mapper, exclude_images)
+                if status == "done":
+                    break
+                if status == "retry":
+                    continue  # trials are bounded by max_reg_trials
+                last_snapshot = self._maybe_snapshot(mapper, last_snapshot)
+                n_img = len(mapper.registered)
+                n_pts = max(mapper.num_points3D(), 1)
+                if (n_img > self.options.ba_global_images_ratio
+                        * last_global_images
+                        or n_pts > self.options.ba_global_points_ratio
+                        * last_global_points):
+                    self._global_refinement(mapper)
+                    last_global_images = n_img
+                    last_global_points = mapper.num_points3D()
+                retries = 0
+            except KeyboardInterrupt:
+                raise
+            except Exception as e:  # device-side errors must not lose the run
+                retries += 1
+                self._capture_failure(mapper, e, retries)
+                if retries > self.options.max_round_retries:
+                    logger.error("giving up after %d failed rounds; "
+                                 "returning the model built so far", retries)
+                    break
+                time.sleep(self.options.retry_cooldown_s)
 
-            n_img = len(mapper.registered)
-            n_pts = max(mapper.num_points3D(), 1)
-            if (n_img > self.options.ba_global_images_ratio * last_global_images
-                    or n_pts > self.options.ba_global_points_ratio * last_global_points):
-                self._global_refinement(mapper)
-                last_global_images = n_img
-                last_global_points = mapper.num_points3D()
-
-        self._global_refinement(mapper, final=True)
+        try:
+            self._global_refinement(mapper, final=True)
+        except Exception as e:
+            self._capture_failure(mapper, e, retries=-1)
         if os.environ.get("COLMAP_TPU_PROFILE"):
             total = sum(self.stage_s.values())
             logger.warning("stage timings (%.1fs total): %s", total,
@@ -217,6 +202,85 @@ class IncrementalPipeline(BaseController):
         if mapper.rec.num_registered_images() < self.options.min_model_size:
             return None
         return mapper.finalize()
+
+    def _map_round(self, mapper: IncrementalMapper,
+                   exclude_images: Set[int]) -> str:
+        """One registration round: PnP-register up to ~10% of the current
+        model in ONE vmapped device call, triangulate the whole round in
+        one batch, local-BA the union, complete/merge/filter the touched
+        tracks. Growth-triggered global refinements keep the same cadence
+        as the reference's per-image loop (ratio 1.1).
+
+        Returns "done" (no candidates), "retry" (round registered
+        nothing), or "ok"."""
+        n_reg = len(mapper.registered)
+        batch = max(1, min(self.options.mapper.max_batch_size, n_reg // 10))
+        candidates = [i for i in self._timed(
+            "find_next", mapper.find_next_images,
+            max_images=2 * batch + 10) if i not in exclude_images][:batch]
+        if not candidates:
+            return "done"
+        accepted = self._timed("register", mapper.register_next_images,
+                               candidates)
+        if not accepted:
+            return "retry"
+        logger.info("registered %d image(s) (#%d): %s", len(accepted),
+                    len(mapper.registered), accepted)
+        if self.next_image_callback is not None:
+            for iid in accepted:
+                self.next_image_callback(iid)
+        pts_before = mapper._num_pts
+        self._timed("triangulate", mapper.triangulate_images, accepted)
+        local_pids = self._timed("local_ba", mapper.adjust_local_bundle,
+                                 accepted)
+        # complete + merge the locally-adjusted tracks, then filter only
+        # those (reference: IterativeLocalRefinement runs
+        # CompleteAndMergeTracks + FilterPoints3DInImages; the full pass
+        # runs in global refinement). Merge scans only the round's NEW
+        # points — full merges run in global refinement. The round's new
+        # points join the touched set explicitly: a point created between
+        # classification and _add_points_bulk in the same
+        # triangulate_images call may not appear in local_pids, and the
+        # local filter must see it before it feeds PnP/local BA.
+        new_pids = np.arange(pts_before, mapper._num_pts, dtype=np.int64)
+        touched = self._timed("complete_merge",
+                              mapper.complete_and_merge_tracks,
+                              np.concatenate([np.asarray(local_pids,
+                                                         np.int64),
+                                              new_pids]),
+                              merge_pids=new_pids)
+        self._timed("filter", mapper.filter_points, pids=touched)
+        return "ok"
+
+    def _capture_failure(self, mapper: IncrementalMapper, exc: Exception,
+                         retries: int):
+        """Record a round failure: full traceback to the log AND to a
+        crash report on disk, plus an emergency model snapshot — a device
+        error after hours of mapping must leave enough evidence to diagnose
+        and enough state to resume (reference analog: COLMAP's snapshotting
+        keeps partial models recoverable)."""
+        import tempfile
+        import traceback
+
+        tb = traceback.format_exc()
+        logger.error("mapping round failed (attempt %d): %s\n%s",
+                     retries, exc, tb)
+        out_dir = self.options.snapshot_path or os.path.join(
+            tempfile.gettempdir(), "colmap_tpu_crash")
+        try:
+            os.makedirs(out_dir, exist_ok=True)
+            with open(os.path.join(out_dir, "crash_report.txt"), "a") as fp:
+                fp.write(f"\n=== attempt {retries} at "
+                         f"{len(mapper.registered)} images ===\n{tb}\n")
+            from colmap_tpu.scene import reconstruction_io
+
+            path = os.path.join(
+                out_dir, f"crash_{len(mapper.registered):06d}")
+            os.makedirs(path, exist_ok=True)
+            reconstruction_io.write_model(mapper.finalize(), path, ext=".bin")
+            logger.error("crash snapshot written to %s", path)
+        except Exception:
+            logger.exception("failed to write the crash snapshot")
 
     def _global_refinement(self, mapper: IncrementalMapper, final: bool = False):
         """Retriangulate + global BA + filter on EVERY global refinement
@@ -235,8 +299,13 @@ class IncrementalPipeline(BaseController):
                 n_changed += self._timed(
                     "retriangulate", mapper.triangulate_images,
                     list(mapper.registered))
+                # merge only the tracks modified since the last consume
+                # (reference: CompleteAndMergeTracks over the triangulator's
+                # modified_point3D_ids_ snapshot, not every track); falls
+                # back to the full scan when most points are dirty
                 self._timed("complete_merge_global",
-                            mapper.complete_and_merge_tracks)
+                            mapper.complete_and_merge_tracks,
+                            merge_pids=mapper.consume_modified_pids())
             self._timed(
                 "global_ba", mapper.adjust_global_bundle,
                 refine_intrinsics=(self.options.ba_refine_focal_length

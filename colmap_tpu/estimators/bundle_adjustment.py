@@ -325,9 +325,15 @@ class LMState(NamedTuple):
     rel_change: jax.Array = None
 
 
-def lm_step(state: LMState, options: BAOptions, axis_name: Optional[str] = None):
+def lm_step(state: LMState, options: BAOptions, axis_name: Optional[str] = None,
+            cg_iters=None):
     """One damped LM iteration (jittable; shard obs arrays + set axis_name
-    for multi-device). Returns the updated LMState."""
+    for multi-device). Returns the updated LMState.
+
+    `cg_iters` optionally overrides options.cg_iterations with a TRACED
+    scalar: the CG trip count then stays out of the program hash, so BA
+    calls that differ only in iteration budget (local vs global vs final
+    refinement) share one compiled program per shape class."""
     problem = state.problem
     P = problem.poses.shape[0]
     C = problem.cam_params.shape[0]
@@ -479,8 +485,9 @@ def lm_step(state: LMState, options: BAOptions, axis_name: Optional[str] = None)
         p = (z[0] + beta * p[0], z[1] + beta * p[1])
         return (x, rr, z, p, rz_new)
 
+    n_cg = options.cg_iterations if cg_iters is None else cg_iters
     x, _, _, _, _ = jax.lax.fori_loop(
-        0, options.cg_iterations, cg_body, (x0, r0, z0, p0, dot(r0, z0))
+        0, n_cg, cg_body, (x0, r0, z0, p0, dot(r0, z0))
     )
     du_pose, du_cam = x
 
@@ -535,7 +542,8 @@ def lm_step(state: LMState, options: BAOptions, axis_name: Optional[str] = None)
 
 
 def run_lm(state: LMState, options: BAOptions,
-           axis_name: Optional[str] = None) -> LMState:
+           axis_name: Optional[str] = None,
+           max_iters=None, cg_iters=None) -> LMState:
     """The LM iteration loop (traceable; shared by solve/solve_distributed).
 
     With function_tolerance > 0 this is a while_loop that exits as soon as
@@ -543,12 +551,19 @@ def run_lm(state: LMState, options: BAOptions,
     damping saturates with no accepted step) — the analog of ceres
     function_tolerance termination, and the main reason intermediate global
     BAs inside the mapper are cheap once the model is nearly converged.
+
+    `max_iters` / `cg_iters` optionally override the corresponding
+    options fields with TRACED scalars, keeping the iteration budget out
+    of the program hash (one compiled BA program per shape class instead
+    of one per (shape, budget) pair — host tracing through the tunnel is
+    ~100s of ms per program).
     """
+    mi = options.max_iterations if max_iters is None else max_iters
     if options.function_tolerance <= 0:
         def body(_, s):
-            return lm_step(s, options, axis_name)
+            return lm_step(s, options, axis_name, cg_iters=cg_iters)
 
-        return jax.lax.fori_loop(0, options.max_iterations, body, state)
+        return jax.lax.fori_loop(0, mi, body, state)
 
     tol = options.function_tolerance
     if state.rel_change is None:
@@ -561,10 +576,11 @@ def run_lm(state: LMState, options: BAOptions,
         # below the tolerance is exactly converged for any real problem
         # (without it, a start at the optimum ramps lambda for ~15 iters)
         converged = (s.rel_change < tol) | stuck | (s.cost < tol)
-        return (s.iteration < options.max_iterations) & ~converged
+        return (s.iteration < mi) & ~converged
 
-    return jax.lax.while_loop(cond, lambda s: lm_step(s, options, axis_name),
-                              state)
+    return jax.lax.while_loop(
+        cond, lambda s: lm_step(s, options, axis_name, cg_iters=cg_iters),
+        state)
 
 
 def init_state(problem: BAProblem, options: BAOptions,
@@ -594,12 +610,19 @@ def solve(problem: BAProblem, options: BAOptions, axis_name: Optional[str] = Non
 
 def build_gather_layouts(obs_point_idx, obs_pose_idx, obs_cam_idx,
                          obs_weight, M: int, P: int, C: int,
-                         max_pad_ratio: float = 8.0):
+                         max_pad_ratio: float = 8.0,
+                         max_slots: int = 4_000_000):
     """Host-side construction of the scatter-free reduction layouts.
 
     Returns (pt_gather (M, T), pose_gather (P, S), pose_cam_idx (P,),
     pt_gather_ps, ps_point_idx) as numpy arrays, or all-None when padding
     would blow up memory (heavily skewed per-pose observation counts).
+
+    `max_slots` bounds the ABSOLUTE padded-layout size: the pose-major CG
+    path materializes several (P, S, 2, 6..12) float32 arrays (~170 bytes
+    per slot), so an uncapped 8x pad ratio at 1M+ observations would
+    allocate multiple GB on a 16 GB chip — large problems fall back to the
+    segment-sum path instead of OOMing mid-run.
     """
     import numpy as np
 
@@ -615,7 +638,7 @@ def build_gather_layouts(obs_point_idx, obs_pose_idx, obs_cam_idx,
         t = int(counts.max()) if len(counts) else 1
         t = max(t, 1)
         t = 1 << (t - 1).bit_length()  # next pow2 (stable jit buckets)
-        if t * num_rows > max_pad_ratio * max(n, 1):
+        if t * num_rows > min(max_pad_ratio * max(n, 1), max_slots):
             return None
         out = np.full((num_rows, t), -1, np.int32)
         order = np.argsort(idx[live], kind="stable")
@@ -647,6 +670,100 @@ def build_gather_layouts(obs_point_idx, obs_pose_idx, obs_cam_idx,
     return pt_g, pose_g, pose_cam, pt_g_ps, ps_point
 
 
+class PackedMeta(NamedTuple):
+    """Static shape descriptor of a flattened BAProblem (hashable: one jit
+    specialization per shape class). T/S = gather-layout widths; T == 0
+    means no scatter-free layouts (segment-sum fallback)."""
+
+    N: int
+    P: int
+    C: int
+    M: int
+    T: int
+    S: int
+
+
+def flatten_problem(problem: BAProblem):
+    """Pack a (host-side) BAProblem into ONE float32 + ONE int32 buffer.
+
+    Through the tunnel every jit argument is its own host->device
+    transfer (~65 ms each, size-independent); packing 16 problem arrays
+    into 2 buffers makes a BA call 3 transfers (f32 + i32 + packed
+    result) instead of ~17. Accepts numpy or device arrays.
+    """
+    import numpy as np
+
+    def f(a):
+        return np.asarray(a, np.float32).reshape(-1)
+
+    def i(a):
+        return np.asarray(a, np.int32).reshape(-1)
+
+    N = int(problem.obs_xy.shape[0])
+    P = int(problem.poses.shape[0])
+    C = int(problem.cam_params.shape[0])
+    M = int(problem.points.shape[0])
+    has_layouts = problem.pt_gather is not None
+    T = int(problem.pt_gather.shape[1]) if has_layouts else 0
+    S = int(problem.pose_gather.shape[1]) if has_layouts else 0
+
+    fparts = [f(problem.poses), f(problem.cam_params), f(problem.points),
+              f(problem.obs_xy), f(problem.obs_weight),
+              f(problem.pose_mask), f(problem.cam_mask),
+              f(problem.point_mask)]
+    iparts = [i(problem.obs_pose_idx), i(problem.obs_cam_idx),
+              i(problem.obs_point_idx)]
+    if has_layouts:
+        iparts += [i(problem.pose_cam_idx), i(problem.pt_gather),
+                   i(problem.pose_gather), i(problem.pt_gather_ps),
+                   i(problem.ps_point_idx)]
+    return (np.concatenate(fparts), np.concatenate(iparts),
+            PackedMeta(N=N, P=P, C=C, M=M, T=T, S=S))
+
+
+def unflatten_problem(fbuf, ibuf, meta: PackedMeta) -> BAProblem:
+    """Rebuild the BAProblem from the packed buffers (traceable: all
+    offsets are static)."""
+    N, P, C, M, T, S = meta
+
+    def cut(buf, off, shape):
+        size = 1
+        for d in shape:
+            size *= d
+        return buf[off: off + size].reshape(shape), off + size
+
+    off = 0
+    poses, off = cut(fbuf, off, (P, 7))
+    cam_params, off = cut(fbuf, off, (C, 12))
+    points, off = cut(fbuf, off, (M, 3))
+    obs_xy, off = cut(fbuf, off, (N, 2))
+    obs_weight, off = cut(fbuf, off, (N,))
+    pose_mask, off = cut(fbuf, off, (P, 6))
+    cam_mask, off = cut(fbuf, off, (C, 12))
+    point_mask, off = cut(fbuf, off, (M, 3))
+
+    ioff = 0
+    obs_pose_idx, ioff = cut(ibuf, ioff, (N,))
+    obs_cam_idx, ioff = cut(ibuf, ioff, (N,))
+    obs_point_idx, ioff = cut(ibuf, ioff, (N,))
+    pt_gather = pose_gather = pose_cam_idx = pt_gather_ps = ps_point_idx = None
+    if T > 0:
+        pose_cam_idx, ioff = cut(ibuf, ioff, (P,))
+        pt_gather, ioff = cut(ibuf, ioff, (M, T))
+        pose_gather, ioff = cut(ibuf, ioff, (P, S))
+        pt_gather_ps, ioff = cut(ibuf, ioff, (M, T))
+        ps_point_idx, ioff = cut(ibuf, ioff, (P, S))
+    return BAProblem(
+        poses=poses, cam_params=cam_params, points=points,
+        obs_pose_idx=obs_pose_idx, obs_cam_idx=obs_cam_idx,
+        obs_point_idx=obs_point_idx, obs_xy=obs_xy, obs_weight=obs_weight,
+        pose_mask=pose_mask, cam_mask=cam_mask, point_mask=point_mask,
+        pt_gather=pt_gather, pose_gather=pose_gather,
+        pose_cam_idx=pose_cam_idx, pt_gather_ps=pt_gather_ps,
+        ps_point_idx=ps_point_idx,
+    )
+
+
 def make_problem(
     poses,
     cam_params,
@@ -663,22 +780,31 @@ def make_problem(
     refine_principal_point: bool = False,
     camera_model_ids=None,
     dtype=jnp.float32,
+    as_numpy: bool = False,
 ) -> BAProblem:
     """Build a BAProblem from numpy/JAX arrays with COLMAP-like gauge defaults.
 
     `fix_first_pose_and_gauge` reproduces the reference's global-BA gauge:
     the first pose is fully fixed and the second pose's tx is fixed
     (reference bundle_adjustment.cc gauge handling).
+
+    `as_numpy=True` keeps every field a host numpy array (no transfers) —
+    the input to `flatten_problem`, which ships the whole problem to the
+    device as two packed buffers.
     """
     import numpy as np
 
-    poses = jnp.asarray(poses, dtype)
-    cam_params = jnp.asarray(cam_params, dtype)
-    points = jnp.asarray(points, dtype)
+    xp = np if as_numpy else jnp
+    np_dtype = np.float32 if dtype == jnp.float32 else np.float64
+    if as_numpy:
+        dtype = np_dtype
+    poses = xp.asarray(poses, dtype)
+    cam_params = xp.asarray(cam_params, dtype)
+    points = xp.asarray(points, dtype)
     P, C, M = poses.shape[0], cam_params.shape[0], points.shape[0]
 
     if obs_weight is None:
-        obs_weight = jnp.ones(len(obs_xy), dtype)
+        obs_weight = xp.ones(len(obs_xy), dtype)
 
     pose_mask = np.ones((P, 6), np.float32)
     for i in fix_poses:
@@ -712,17 +838,17 @@ def make_problem(
         poses=poses,
         cam_params=cam_params,
         points=points,
-        obs_pose_idx=jnp.asarray(obs_pose_idx, jnp.int32),
-        obs_cam_idx=jnp.asarray(obs_cam_idx, jnp.int32),
-        obs_point_idx=jnp.asarray(obs_point_idx, jnp.int32),
-        obs_xy=jnp.asarray(obs_xy, dtype),
-        obs_weight=jnp.asarray(obs_weight, dtype),
-        pose_mask=jnp.asarray(pose_mask, dtype),
-        cam_mask=jnp.asarray(cam_mask, dtype),
-        point_mask=jnp.ones((M, 3), dtype),
-        pt_gather=None if pt_g is None else jnp.asarray(pt_g),
-        pose_gather=None if pose_g is None else jnp.asarray(pose_g),
-        pose_cam_idx=None if pose_cam is None else jnp.asarray(pose_cam),
-        pt_gather_ps=None if pt_g_ps is None else jnp.asarray(pt_g_ps),
-        ps_point_idx=None if ps_point is None else jnp.asarray(ps_point),
+        obs_pose_idx=xp.asarray(obs_pose_idx, xp.int32),
+        obs_cam_idx=xp.asarray(obs_cam_idx, xp.int32),
+        obs_point_idx=xp.asarray(obs_point_idx, xp.int32),
+        obs_xy=xp.asarray(obs_xy, dtype),
+        obs_weight=xp.asarray(obs_weight, dtype),
+        pose_mask=xp.asarray(pose_mask, dtype),
+        cam_mask=xp.asarray(cam_mask, dtype),
+        point_mask=xp.ones((M, 3), dtype),
+        pt_gather=None if pt_g is None else xp.asarray(pt_g),
+        pose_gather=None if pose_g is None else xp.asarray(pose_g),
+        pose_cam_idx=None if pose_cam is None else xp.asarray(pose_cam),
+        pt_gather_ps=None if pt_g_ps is None else xp.asarray(pt_g_ps),
+        ps_point_idx=None if ps_point is None else xp.asarray(ps_point),
     )

@@ -182,6 +182,23 @@ def _solve_packed(problem, options: ba.BAOptions):
                             pr.points.reshape(-1)])
 
 
+@partial(jax.jit, static_argnames=("meta", "options"))
+def _solve_packed_buffers(fbuf, ibuf, iters, meta: ba.PackedMeta,
+                          options: ba.BAOptions):
+    """BA solve over the two-buffer problem encoding: the whole problem
+    ships as ONE f32 + ONE i32 upload (instead of ~16 per-field transfers,
+    each a ~65 ms tunnel round trip) and the result comes back as one
+    packed vector. `iters` = dynamic (max_lm_iters, cg_iters) so local /
+    global / final BAs that differ only in iteration budget share one
+    compiled program per shape class (host tracing is per program)."""
+    problem = ba.unflatten_problem(fbuf, ibuf, meta)
+    state = ba.run_lm(ba.init_state(problem, options), options,
+                      max_iters=iters[0], cg_iters=iters[1])
+    pr = state.problem
+    return jnp.concatenate([pr.poses.reshape(-1), pr.cam_params.reshape(-1),
+                            pr.points.reshape(-1)])
+
+
 # ---------------------------------------------------------------------------
 # host-side vectorized quaternion math (decision-path geometry: elementwise
 # numpy beats a 65 ms tunnel round-trip for anything under ~10^7 elements)
@@ -324,6 +341,12 @@ class IncrementalMapper:
         self._csr_cache = None
         self._seen_keys = None  # sorted (pid, img) keys of alive obs
 
+        # modified-point tracking (reference: IncrementalTriangulator's
+        # modified_point3D_ids_ — Create/Continue/Merge record the touched
+        # points and global refinement's CompleteAndMergeTracks consumes
+        # the set instead of scanning every track)
+        self._dirty_pids: List[np.ndarray] = []
+
         self.registered: List[int] = []
         self.num_reg_trials: Dict[int, int] = {}
         self._rng = np.random.default_rng(seed)
@@ -337,14 +360,22 @@ class IncrementalMapper:
     # ------------------------------------------------------------------
     # small helpers
     # ------------------------------------------------------------------
-    def _next_key(self):
-        if self._key_pool is None or self._key_idx >= len(self._key_pool):
+    def _next_keys(self, n: int) -> np.ndarray:
+        """n PRNG keys as a (n, 2) numpy array from the host-side pool
+        (jax.random.split is an eager ~5 ms device op per call through the
+        tunnel; the pool refills 256+ keys in one op and the numpy rows
+        ride into jit programs with their other arguments)."""
+        if (self._key_pool is None
+                or self._key_idx + n > len(self._key_pool)):
             self._key, sub = jax.random.split(self._key)
-            self._key_pool = np.asarray(jax.random.split(sub, 256))
+            self._key_pool = np.asarray(jax.random.split(sub, max(256, n)))
             self._key_idx = 0
-        k = self._key_pool[self._key_idx]
-        self._key_idx += 1
-        return jnp.asarray(k)
+        out = self._key_pool[self._key_idx: self._key_idx + n]
+        self._key_idx += n
+        return out
+
+    def _next_key(self) -> np.ndarray:
+        return self._next_keys(1)[0]
 
     def _focal(self, image_id: int) -> float:
         return float(self._focal_arr[self._row_of[image_id]])
@@ -458,6 +489,7 @@ class IncrementalMapper:
         self._flat_pids[g] = pids
         np.add.at(self._track_len, pids, 1)
         self._bump_feat_vis(g, +1)
+        self._dirty_pids.append(pids.copy())
         self._csr_cache = None
         self._seen_keys = None
         return n
@@ -636,10 +668,7 @@ class IncrementalMapper:
         valid[: len(m)] = True
         focal = np.sqrt(self._focal(i1) * self._focal(i2)).astype(np.float32)
         g = _estimate_tvg_jit(
-            self._next_key(),
-            jnp.asarray(rays1), jnp.asarray(rays2),
-            jnp.asarray(pix1), jnp.asarray(pix2),
-            jnp.asarray(valid), jnp.asarray(focal), opts,
+            self._next_key(), rays1, rays2, pix1, pix2, valid, focal, opts,
         )
         g = jax.tree.map(np.asarray, g)
         return g._replace(inlier_mask=g.inlier_mask[: len(m)])
@@ -669,8 +698,7 @@ class IncrementalMapper:
         rays1 = self._pad(self._rays_of(i1)[m[:, 0]].astype(np.float32), cap)
         rays2 = self._pad(self._rays_of(i2)[m[:, 1]].astype(np.float32), cap)
         packed = np.asarray(_triangulate_pairs(
-            jnp.asarray(pose1), jnp.asarray(pose2),
-            jnp.asarray(rays1), jnp.asarray(rays2)))
+            pose1, pose2, rays1, rays2))
         X, (angle, z1, z2, e1, e2) = packed[:3].T, packed[3:8]
         f1, f2 = self._focal(i1), self._focal(i2)
         min_angle = np.radians(self.options.create_min_tri_angle_deg)
@@ -787,10 +815,9 @@ class IncrementalMapper:
             rays[k, :n] = self._flat_rays[self._kp_off[r] + f]
             valid[k, :n] = True
             errs[k] = self.options.abs_pose_max_error / self._focal_arr[r]
-        keys = jax.random.split(self._next_key(), K_b)
+        keys = self._next_keys(K_b)
         packed = np.asarray(_pnp_ransac_batch(
-            keys, jnp.asarray(X), jnp.asarray(rays), jnp.asarray(valid),
-            jnp.asarray(errs)))
+            keys, X, rays, valid, errs))
 
         accepted: List[int] = []
         for k, (iid, f, pids) in enumerate(cands):
@@ -1050,6 +1077,20 @@ class IncrementalMapper:
                          np.concatenate(pid_all))
         return len(merges)
 
+    def consume_modified_pids(self) -> Optional[np.ndarray]:
+        """Points whose tracks changed since the last consume (created,
+        continued, merged, or retriangulated) — the reference triangulator's
+        modified_point3D_ids_ set (incremental_triangulator.h:118), cleared
+        on read. Returns None when the set covers most live points (a full
+        scan is cheaper than the subset indexing)."""
+        if not self._dirty_pids:
+            return np.zeros(0, np.int64)
+        u = self._live_pids(np.concatenate(self._dirty_pids))
+        self._dirty_pids = []
+        if len(u) > 0.3 * max(self.num_points3D(), 1):
+            return None
+        return u
+
     def complete_and_merge_tracks(self, pids=None, merge_pids=None
                                   ) -> np.ndarray:
         """Complete then merge (reference: CompleteAndMergeTracks inside
@@ -1103,8 +1144,7 @@ class IncrementalMapper:
         rays1 = self._pad(self._flat_rays[g1].astype(np.float32), cap)
         rays2 = self._pad(self._flat_rays[g2].astype(np.float32), cap)
         packed = np.asarray(_triangulate_pairs(
-            jnp.asarray(poses1), jnp.asarray(poses2),
-            jnp.asarray(rays1), jnp.asarray(rays2)))
+            poses1, poses2, rays1, rays2))
         X, (angle, z1, z2, e1, e2) = packed[:3].T, packed[3:8]
         min_angle = np.radians(self.options.create_min_tri_angle_deg)
         err_px = self.options.filter_max_reproj_error
@@ -1275,6 +1315,8 @@ class IncrementalMapper:
             [self.rec.cameras[cid].padded_params() for cid in cams]
         ).astype(np.float32)
         g = self._kp_off[obs_row] + obs_feat
+        # the problem stays HOST-side numpy: flatten_problem ships it as
+        # two packed buffers (3 transfers per BA instead of ~17)
         problem = ba.make_problem(
             poses_p,
             cam_params,
@@ -1287,18 +1329,18 @@ class IncrementalMapper:
             refine_intrinsics=refine_intrinsics,
             refine_extra_params=refine_intrinsics,
             camera_model_ids=[self.rec.cameras[cid].model_id for cid in cams],
+            as_numpy=True,
         )
         # freeze non-variable images + all padding rows
         pose_mask = np.zeros((P_b, 6), np.float32)
-        n_var = int(is_var.sum()) if not fix_extra_images else len(all_rows)
         if fix_extra_images:
             pose_mask[: int(is_var.sum())] = 1.0
         else:
             pose_mask[: len(all_rows)] = 1.0
         point_mask = np.zeros((M_b, 3), np.float32)
         point_mask[: len(pids)] = 1.0
-        problem = problem._replace(pose_mask=jnp.asarray(pose_mask),
-                                   point_mask=jnp.asarray(point_mask))
+        problem = problem._replace(pose_mask=pose_mask,
+                                   point_mask=point_mask)
         all_imgs = [int(self._img_ids[r]) for r in all_rows]
         return problem, all_imgs, pids, cams
 
@@ -1342,6 +1384,10 @@ class IncrementalMapper:
         if ba_options is None:
             cam0 = self.rec.cameras[int(self._cam_of_row[
                 self._row_of[image_ids[0]]])]
+            # iteration budgets ride as DYNAMIC scalars (see
+            # _solve_packed_buffers); the static options keep their
+            # DEFAULT budgets so every local/global BA at a given shape
+            # class shares one compiled program (10 LM x 15 CG local)
             ba_options = ba.BAOptions(
                 max_iterations=10,
                 cg_iterations=15,
@@ -1350,10 +1396,14 @@ class IncrementalMapper:
                 camera_model_id=cam0.model_id,
                 refine_intrinsics=False,
             )
-        flat = _solve_packed(problem, ba_options)
+        iters = np.array([ba_options.max_iterations,
+                          ba_options.cg_iterations], np.int32)
+        static_opts = dataclasses.replace(ba_options, max_iterations=50,
+                                          cg_iterations=30)
+        fbuf, ibuf, meta = ba.flatten_problem(problem)
+        flat = _solve_packed_buffers(fbuf, ibuf, iters, meta, static_opts)
         self._apply_ba_result(flat, all_imgs, pids, cams,
-                              shapes=(problem.poses.shape[0],
-                                      problem.cam_params.shape[0]))
+                              shapes=(meta.P, meta.C))
         return pids
 
     def adjust_global_bundle(self, refine_intrinsics: bool = False,
@@ -1371,7 +1421,7 @@ class IncrementalMapper:
         pose_mask[0] = 0.0
         if len(all_imgs) > 1:
             pose_mask[1, 3] = 0.0
-        problem = problem._replace(pose_mask=jnp.asarray(pose_mask))
+        problem = problem._replace(pose_mask=pose_mask)
         if ba_options is None:
             cam0 = self.rec.cameras[int(self._cam_of_row[
                 self._row_of[self.registered[0]]])]
@@ -1383,11 +1433,18 @@ class IncrementalMapper:
                 camera_model_id=cam0.model_id,
                 refine_intrinsics=refine_intrinsics,
             )
-        flat = _solve_packed(problem, ba_options)
+        # iteration budgets ride as DYNAMIC scalars so global BAs with
+        # different budgets (intermediate vs final) share one compiled
+        # program per shape class (see _solve_packed_buffers)
+        iters = np.array([ba_options.max_iterations,
+                          ba_options.cg_iterations], np.int32)
+        static_opts = dataclasses.replace(ba_options, max_iterations=50,
+                                          cg_iterations=30)
+        fbuf, ibuf, meta = ba.flatten_problem(problem)
+        flat = _solve_packed_buffers(fbuf, ibuf, iters, meta, static_opts)
         self._apply_ba_result(flat, all_imgs, pids, cams,
                               update_intrinsics=refine_intrinsics,
-                              shapes=(problem.poses.shape[0],
-                                      problem.cam_params.shape[0]))
+                              shapes=(meta.P, meta.C))
         if refine_intrinsics:
             self.invalidate_focal_cache()
 
