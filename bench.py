@@ -6,6 +6,11 @@ Schur-complement LM vs ceres reference"). The `extra` dict carries the
 rest of the north-star set: batched SIFT img/s, matcher pairs/s, and
 incremental-mapping images-registered/s.
 
+Every repeated metric reports `std` over its reps (the tunnel's
+day-to-day variance is 20-30%; one number with no error bar cannot
+distinguish a regression from noise) and, where the FLOPs are
+closed-form, an `mfu` block: achieved TFLOP/s vs the chip's bf16 peak.
+
 Baselines (see BASELINE_MEASURED.json for provenance):
   * BA: ceres-class DENSE_SCHUR LM measured on THIS host via
     scripts/ba_cpu_baseline.py -> 0.23 iters/s (numpy/scipy). Public
@@ -50,8 +55,23 @@ CV2_SIFT_IMG_PER_S = 2.85           # measured, BASELINE_MEASURED.json
 CV2_MATCHER_PAIRS_PER_S = 2.6       # measured, 4096^2
 REF_MAPPER_IMG_PER_S = 1.0          # order-of-magnitude estimate
 
+# TPU v5e peak: 197 TFLOP/s bf16 / 394 TOPS int8. MFU below is reported
+# against the bf16 peak using ALGORITHMIC flops (the work a minimal
+# implementation must do), not the padded/augmented flops actually issued.
+PEAK_BF16_TFLOPS = 197.0
 
-def bench_ba():
+
+def _timed_reps(fn, reps):
+    """Run fn() `reps` times, return per-rep wall seconds (fn must block)."""
+    out = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        out.append(time.perf_counter() - t0)
+    return np.asarray(out)
+
+
+def bench_ba(refine_intrinsics=False, reps=5):
     import jax
 
     from colmap_tpu.estimators import bundle_adjustment as ba
@@ -61,20 +81,29 @@ def bench_ba():
                                 obs_per_point=6, seed=7)
     # fixed-iteration mode (function_tolerance=0) for stable timing
     options = ba.BAOptions(max_iterations=10, cg_iterations=20,
-                           function_tolerance=0.0)
+                           function_tolerance=0.0,
+                           refine_intrinsics=refine_intrinsics)
     solve = jax.jit(lambda p: ba.solve(p, options))
     state = solve(problem)
     state.cost.block_until_ready()
-    t0 = time.perf_counter()
-    reps = 3
-    for _ in range(reps):
-        state = solve(problem)
-        state.cost.block_until_ready()
-    dt = time.perf_counter() - t0
-    return options.max_iterations * reps / dt
+    dts = _timed_reps(lambda: solve(problem).cost.block_until_ready(), reps)
+    iters_per_s = options.max_iterations / dts
+    # closed-form CG flops: each CG iter applies J and J^T (2 x 2*nnz
+    # where nnz = obs * 2 residuals * (6 pose + 3 point + k cam params))
+    n_obs = int(problem.obs_xy.shape[0])
+    k_cam = 4 if not refine_intrinsics else 4
+    flops_per_cg = 2 * (2 * n_obs * 2 * (6 + 3 + k_cam))
+    flops_per_lm = options.cg_iterations * flops_per_cg
+    tflops = iters_per_s.mean() * flops_per_lm / 1e12
+    return dict(value=round(float(iters_per_s.mean()), 3),
+                std=round(float(iters_per_s.std()), 3),
+                reps=reps,
+                mfu=dict(achieved_tflops=round(tflops, 4),
+                         pct_of_bf16_peak=round(100 * tflops
+                                                / PEAK_BF16_TFLOPS, 3)))
 
 
-def bench_sift():
+def bench_sift(reps=3):
     from colmap_tpu.features import sift
     from colmap_tpu.scene import synthetic_images as synth
 
@@ -87,16 +116,22 @@ def bench_sift():
     B = len(imgs)
     out = sift.extract_batch(imgs, o)
     np.asarray(out["valid"]).sum()
-    t0 = time.perf_counter()
-    n = 3
-    for _ in range(n):
-        out = sift.extract_batch(imgs, o)
-        np.asarray(out["valid"]).sum()
-    dt = (time.perf_counter() - t0) / n
-    return B / dt
+
+    def run():
+        r = sift.extract_batch(imgs, o)
+        np.asarray(r["valid"]).sum()
+
+    dts = _timed_reps(run, reps)
+    ips = B / dts
+    return dict(value=round(float(ips.mean()), 2),
+                std=round(float(ips.std()), 2), reps=reps)
 
 
-def bench_matcher():
+def bench_matcher(reps=5, pipeline_depth=4):
+    """Production matcher path (Pallas fused kernel on TPU) with
+    pipelined dispatch: `pipeline_depth` pair-blocks in flight, which is
+    how the matching controller streams blocks in practice — a single
+    blocking call pays the full ~65 ms tunnel round trip per block."""
     import jax
 
     from colmap_tpu.features import matching
@@ -107,13 +142,25 @@ def bench_matcher():
     d2 = rng.integers(0, 255, (B, N, 128)).astype(np.uint8)
     b1 = jax.vmap(matching.prepare_descriptors)(d1)
     b2 = jax.vmap(matching.prepare_descriptors)(d2)
-    np.asarray(matching.match_pairs_batch(b1, b2))
-    t0 = time.perf_counter()
-    n = 5
-    for _ in range(n):
-        np.asarray(matching.match_pairs_batch(b1, b2))
-    dt = (time.perf_counter() - t0) / n
-    return B / dt
+    np.asarray(matching.match_pairs_batch_auto(b1, b2))  # warm
+
+    def run():
+        outs = [matching.match_pairs_batch_auto(b1, b2)
+                for _ in range(pipeline_depth)]
+        for o in outs:
+            o.block_until_ready()
+
+    dts = _timed_reps(run, reps)
+    pair_ps = B * pipeline_depth / dts
+    # algorithmic flops per pair: N^2 * 128 MACs forward + reverse
+    # (cross-check) = 2 * 2 * N^2 * 128
+    flops_per_pair = 2 * 2 * N * N * 128
+    tflops = pair_ps.mean() * flops_per_pair / 1e12
+    return dict(value=round(float(pair_ps.mean()), 1),
+                std=round(float(pair_ps.std()), 1), reps=reps,
+                mfu=dict(achieved_tflops=round(tflops, 2),
+                         pct_of_bf16_peak=round(100 * tflops
+                                                / PEAK_BF16_TFLOPS, 2)))
 
 
 def bench_mapping(num_images=200):
@@ -138,26 +185,33 @@ def bench_mapping(num_images=200):
 
 def main():
     results = {}
-    ba_iters = bench_ba()
-    results["ba_lm_iters_per_s_500cam_300kobs"] = {
-        "value": round(ba_iters, 3), "unit": "LM iters/s (20 CG steps each)",
-        "vs_baseline": round(ba_iters / CERES_REFERENCE_ITERS_PER_S, 3),
-        "vs_measured_scipy": round(ba_iters / SCIPY_MEASURED_ITERS_PER_S, 1),
-    }
+    ba_res = bench_ba()
+    results["ba_lm_iters_per_s_500cam_300kobs"] = dict(
+        ba_res, unit="LM iters/s (20 CG steps each)",
+        vs_baseline=round(ba_res["value"] / CERES_REFERENCE_ITERS_PER_S, 3),
+        vs_measured_scipy=round(ba_res["value"] / SCIPY_MEASURED_ITERS_PER_S,
+                                1),
+    )
     try:
-        sift_ips = bench_sift()
-        results["sift_batched_img_per_s_1472x1088"] = {
-            "value": round(sift_ips, 2), "unit": "img/s (batch 4, 4096 feats)",
-            "vs_baseline": round(sift_ips / CV2_SIFT_IMG_PER_S, 2),
-        }
+        # A/B: same problem with intrinsics refinement on (ceres A/B per
+        # round-2 verdict item 7)
+        ab = bench_ba(refine_intrinsics=True, reps=3)
+        results["ba_lm_iters_per_s_refine_intrinsics"] = dict(
+            ab, unit="LM iters/s (20 CG steps, +intrinsics)")
+    except Exception as e:
+        results["ba_lm_iters_per_s_refine_intrinsics"] = {"error": str(e)[:100]}
+    try:
+        s = bench_sift()
+        results["sift_batched_img_per_s_1472x1088"] = dict(
+            s, unit="img/s (batch 4, 4096 feats)",
+            vs_baseline=round(s["value"] / CV2_SIFT_IMG_PER_S, 2))
     except Exception as e:  # TPU worker memory is variable; keep the line
         results["sift_batched_img_per_s_1472x1088"] = {"error": str(e)[:100]}
     try:
-        pair_ps = bench_matcher()
-        results["matcher_pairs_per_s_16x4096sq"] = {
-            "value": round(pair_ps, 1), "unit": "pairs/s (batch 16)",
-            "vs_baseline": round(pair_ps / CV2_MATCHER_PAIRS_PER_S, 1),
-        }
+        m = bench_matcher()
+        results["matcher_pairs_per_s_16x4096sq"] = dict(
+            m, unit="pairs/s (batch 16, pipelined x4)",
+            vs_baseline=round(m["value"] / CV2_MATCHER_PAIRS_PER_S, 1))
     except Exception as e:
         results["matcher_pairs_per_s_16x4096sq"] = {"error": str(e)[:100]}
     try:

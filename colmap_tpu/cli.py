@@ -8,6 +8,7 @@ dispatch to the TPU-native implementations. Run as
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import logging
 import os
@@ -97,7 +98,10 @@ def _run_matcher(argv, strategy):
     if strategy == "exhaustive_matcher":
         stats = fm.match_exhaustive(db, opts)
     elif strategy == "sequential_matcher":
-        stats = fm.match_sequential(db, opts)
+        seq = om.SequentialMatching
+        if args.vocab_tree_path and not seq.vocab_tree_path:
+            seq = dataclasses.replace(seq, vocab_tree_path=args.vocab_tree_path)
+        stats = fm.match_sequential(db, opts, pairing=seq)
     elif strategy == "spatial_matcher":
         stats = fm.match_spatial(db, opts)
     elif strategy == "transitive_matcher":

@@ -149,7 +149,8 @@ def match_and_verify_blocks(
         b2 = matching_mod.prepare_descriptors(
             d2.reshape(-1, 128), v2.reshape(-1))
         b2 = jax.tree.map(lambda x: x.reshape((len(block), cap) + x.shape[1:]), b2)
-        midx = np.asarray(matching_mod.match_pairs_batch(b1, b2, match_opts))
+        midx = np.asarray(matching_mod.match_pairs_batch_auto(
+            b1, b2, match_opts))
 
         # ---- collect per-pair correspondences (host) ----
         pair_matches = []
@@ -273,8 +274,14 @@ def match_sequential(database: Database,
                      seed: int = 0) -> MatchingStats:
     images = database.read_images()
     ids = [iid for iid, _ in sorted(images.items(), key=lambda kv: kv[1]["name"])]
-    pairs = pairing_mod.sequential_pairs(
-        ids, pairing or pairing_mod.SequentialPairingOptions())
+    popts = pairing or pairing_mod.SequentialPairingOptions()
+    pairs = pairing_mod.sequential_pairs(ids, popts)
+    if popts.loop_detection:
+        # vocab-tree loop closure (reference: SequentialPairGenerator,
+        # feature/pairing.h:89-110) — retrieval pairs join the temporal set
+        loop = pairing_mod.sequential_loop_detection_pairs(
+            database, ids, popts, seed=seed)
+        pairs = sorted(set(pairs) | set(loop))
     return match_and_verify_blocks(
         database, _chunk(pairs, options.block_pairs), options, seed)
 

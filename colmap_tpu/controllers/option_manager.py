@@ -18,6 +18,7 @@ from colmap_tpu.controllers.feature_extraction import ImageReaderOptions
 from colmap_tpu.controllers.feature_matching import FeatureMatchingOptions
 from colmap_tpu.controllers.incremental_pipeline import IncrementalPipelineOptions
 from colmap_tpu.features.matching import MatchingOptions
+from colmap_tpu.features.pairing import SequentialPairingOptions
 from colmap_tpu.features.sift import SiftExtractionOptions
 from colmap_tpu.image.undistortion import UndistortCameraOptions
 from colmap_tpu.mvs.fusion import StereoFusionOptions
@@ -30,6 +31,7 @@ _SECTIONS = {
     "SiftExtraction": SiftExtractionOptions,
     "SiftMatching": MatchingOptions,
     "FeatureMatching": FeatureMatchingOptions,
+    "SequentialMatching": SequentialPairingOptions,
     "Mapper": IncrementalPipelineOptions,
     "PatchMatchStereo": PatchMatchOptions,
     "StereoFusion": StereoFusionOptions,

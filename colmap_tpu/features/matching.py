@@ -121,6 +121,25 @@ def match_pairs_batch(b1: DescriptorBlock, b2: DescriptorBlock,
     return jax.vmap(lambda a, b: match_descriptors(a, b, options))(b1, b2)
 
 
+def match_pairs_batch_auto(b1: DescriptorBlock, b2: DescriptorBlock,
+                           options: MatchingOptions = MatchingOptions()
+                           ) -> jax.Array:
+    """Production dispatch: the fused Pallas kernel on TPU (similarity
+    tiles stay in VMEM — the XLA path materializes (B, N, M) f32 in HBM
+    and re-reads it per reduction), exact XLA everywhere else or when the
+    capacity isn't Mosaic-tileable (multiple of 128)."""
+    import os
+
+    n, m = b1.centered.shape[1], b2.centered.shape[1]
+    if (jax.default_backend() != "cpu"
+            and not os.environ.get("COLMAP_TPU_NO_PALLAS")
+            and n % 128 == 0 and m % 128 == 0):
+        from colmap_tpu.features.pallas_matcher import match_pairs_batch_pallas
+
+        return match_pairs_batch_pallas(b1, b2, options)
+    return match_pairs_batch(b1, b2, options)
+
+
 def guided_match_descriptors(
     b1: DescriptorBlock, b2: DescriptorBlock,
     xy1, xy2, F: jax.Array, max_epipolar_error: float,

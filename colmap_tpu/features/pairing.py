@@ -41,8 +41,19 @@ def exhaustive_pairs(image_ids: Sequence[int],
 
 @dataclasses.dataclass
 class SequentialPairingOptions:
+    """Reference: SequentialMatchingOptions (feature/pairing.h:60-120)."""
+
     overlap: int = 10
     quadratic_overlap: bool = True
+    # vocab-tree loop detection: every `loop_detection_period` images the
+    # visual index is queried for `loop_detection_num_images` similar
+    # images and those pairs are appended (video sequences revisiting a
+    # place get loop-closure matches the temporal window misses)
+    loop_detection: bool = False
+    loop_detection_period: int = 10
+    loop_detection_num_images: int = 50
+    loop_detection_max_num_features: int = -1
+    vocab_tree_path: str = ""
 
 
 def sequential_pairs(image_ids_in_name_order: Sequence[int],
@@ -64,6 +75,52 @@ def sequential_pairs(image_ids_in_name_order: Sequence[int],
                 if j < n and (1 << k) > options.overlap:
                     pairs.append((ids[i], ids[j]))
     return sorted(set(tuple(sorted(p)) for p in pairs))
+
+
+def sequential_loop_detection_pairs(
+        database, image_ids_in_name_order: Sequence[int],
+        options: SequentialPairingOptions, seed: int = 0
+) -> List[Tuple[int, int]]:
+    """Loop-detection pairs for a sequential sequence.
+
+    Reference: SequentialPairGenerator with loop_detection
+    (feature/pairing.h:89-110, pairing.cc): index every image in the
+    vocab tree, then query it for every `loop_detection_period`-th image
+    and emit (query, retrieved) pairs. The temporal-overlap pairs come
+    from `sequential_pairs`; this returns ONLY the retrieval pairs.
+    """
+    from colmap_tpu.retrieval import visual_index as vi_mod
+
+    ids = list(image_ids_in_name_order)
+    if options.vocab_tree_path:
+        vi = vi_mod.VisualIndex.load(options.vocab_tree_path)
+    else:
+        vi = vi_mod.build_vocab_tree_from_database(
+            database, vi_mod.VisualIndexOptions(), seed=seed)
+
+    cap = options.loop_detection_max_num_features
+
+    def _desc(iid):
+        d = database.read_descriptors(iid)
+        if d is not None and cap > 0 and len(d) > cap:
+            d = d[:cap]
+        return d
+
+    for iid in ids:
+        d = _desc(iid)
+        if d is not None and len(d):
+            vi.add_image(iid, d)
+    pairs = set()
+    for pos, iid in enumerate(ids):
+        if (pos + 1) % max(options.loop_detection_period, 1) != 0:
+            continue
+        d = _desc(iid)
+        if d is None or len(d) == 0:
+            continue
+        for other, _ in vi.query(d, options.loop_detection_num_images,
+                                 exclude=iid):
+            pairs.add(tuple(sorted((iid, other))))
+    return sorted(pairs)
 
 
 @dataclasses.dataclass

@@ -151,3 +151,117 @@ def match_descriptors_pallas(b1: DescriptorBlock, b2: DescriptorBlock,
         rev = jnp.where(rbest > -1e20, ridx, -1)
         ok &= rev[jnp.maximum(idx, 0)] == jnp.arange(n)
     return jnp.where(ok & b1.valid, idx, -1).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# pair-batched kernel: one pallas_call over a (B, n-tiles, m-tiles) grid.
+# The similarity matrices of a whole block of image pairs never touch HBM
+# — only the (B, N) top-2 stats do. This is the production matching path
+# (controllers/feature_matching.py) on TPU; the vmapped XLA matcher
+# materializes (B, N, M) f32 in HBM (1 GB at 16x4096^2) and re-reads it
+# for every reduction.
+# ---------------------------------------------------------------------------
+
+
+def _matcher_kernel_batch(a1_ref, a2_ref, stats_ref, idx_ref):
+    """Grid (B, N tiles, M tiles), M fastest; same running top-2 as
+    _matcher_kernel with a leading size-1 batch block dim."""
+    from jax.experimental import pallas as pl
+
+    t = pl.program_id(2)
+
+    @pl.when(t == 0)
+    def _init():
+        stats_ref[:] = jnp.full_like(stats_ref, _NEG)
+        idx_ref[:] = jnp.full_like(idx_ref, -1)
+
+    sims = jax.lax.dot_general(
+        a1_ref[0], a2_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (TN, TM)
+
+    tm = sims.shape[1]
+    tile_best = jnp.max(sims, axis=1)
+    tile_arg = jnp.argmax(sims, axis=1).astype(jnp.int32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1)
+    tile_second = jnp.max(
+        jnp.where(cols == tile_arg[:, None], _NEG, sims), axis=1)
+    tile_idx = tile_arg + t * tm
+
+    cur_best = stats_ref[0, 0, :]
+    cur_second = stats_ref[0, 1, :]
+    cur_idx = idx_ref[0, 0, :]
+
+    new_best = jnp.maximum(cur_best, tile_best)
+    new_idx = jnp.where(tile_best > cur_best, tile_idx, cur_idx)
+    new_second = jnp.maximum(
+        jnp.minimum(cur_best, tile_best),
+        jnp.maximum(cur_second, tile_second))
+    stats_ref[0, 0, :] = new_best
+    stats_ref[0, 1, :] = new_second
+    idx_ref[0, 0, :] = new_idx
+
+
+@functools.partial(jax.jit, static_argnames=("tile_m",))
+def _top2_forward_batch(b1: DescriptorBlock, b2: DescriptorBlock,
+                        tile_m: int = 2048):
+    """Running top-2 for a batch of pairs: centered (B, N, 128).
+    Returns (best, second, idx), each (B, N)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, n = b1.centered.shape[:2]
+    m = b2.centered.shape[1]
+    tile_n = min(1024, n)
+    tile_m = min(tile_m, m)
+    assert n % tile_n == 0 and m % tile_m == 0 \
+        and tile_n % 128 == 0 and tile_m % 128 == 0, \
+        f"pad descriptor capacity to a multiple of 128 (n={n}, m={m})"
+    a1 = jax.vmap(lambda b: _augment(b, 1))(b1)  # (B, N, AUG)
+    a2 = jax.vmap(lambda b: _augment(b, 2))(b2)
+    grid = (B, n // tile_n, m // tile_m)
+
+    stats, idx = pl.pallas_call(
+        _matcher_kernel_batch,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile_n, _AUG), lambda b, i, t: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_m, _AUG), lambda b, i, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 8, tile_n), lambda b, i, t: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, tile_n), lambda b, i, t: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, 8, n), jnp.float32),
+            jax.ShapeDtypeStruct((B, 8, n), jnp.int32),
+        ),
+    )(a1, a2)
+    return stats[:, 0], stats[:, 1], idx[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("options", "tile_m"))
+def match_pairs_batch_pallas(b1: DescriptorBlock, b2: DescriptorBlock,
+                             options: MatchingOptions = MatchingOptions(),
+                             tile_m: int = 2048) -> jax.Array:
+    """Pair-batched drop-in for matching.match_pairs_batch on TPU.
+
+    b1/b2 hold batched arrays: centered (B, N, 128), row_sum (B, N), ...
+    Returns (B, N) int32 match indices into b2 (-1 = none).
+    """
+    best, second, idx = _top2_forward_batch(b1, b2, tile_m=tile_m)
+    best_dist = jnp.arccos(jnp.clip(best, -1.0, 1.0))
+    second_dist = jnp.arccos(jnp.clip(second, -1.0, 1.0))
+    ok = best > -1e20
+    ok &= best_dist <= options.max_distance
+    ok &= best_dist < options.max_ratio * second_dist
+    if options.cross_check:
+        rbest, _, ridx = _top2_forward_batch(b2, b1, tile_m=tile_m)
+        n = b1.centered.shape[1]
+        rev = jnp.where(rbest > -1e20, ridx, -1)  # (B, M)
+        rev_at_best = jnp.take_along_axis(rev, jnp.maximum(idx, 0), axis=1)
+        ok &= rev_at_best == jnp.arange(n)[None, :]
+    return jnp.where(ok & b1.valid, idx, -1).astype(jnp.int32)

@@ -24,9 +24,12 @@ def _interpret(monkeypatch):
         return orig(*args, **kwargs)
 
     monkeypatch.setattr(pl, "pallas_call", patched)
-    # bypass the jit wrapper (its cache would keep a non-interpret build)
-    if hasattr(pm._top2_forward, "__wrapped__"):
-        monkeypatch.setattr(pm, "_top2_forward", pm._top2_forward.__wrapped__)
+    # bypass the jit wrappers (their caches would keep a non-interpret build)
+    for name in ("_top2_forward", "_top2_forward_batch",
+                 "match_pairs_batch_pallas"):
+        fn = getattr(pm, name)
+        if hasattr(fn, "__wrapped__"):
+            monkeypatch.setattr(pm, name, fn.__wrapped__)
     yield
 
 
@@ -44,6 +47,25 @@ def test_pallas_matcher_agrees_with_exact(rng):
     matched = out >= 0
     inv = np.argsort(perm)
     assert (out[matched] == inv[matched]).mean() > 0.99
+
+
+def test_pallas_batched_agrees_with_exact(rng):
+    B, n = 3, 256
+    d1 = rng.integers(0, 200, (B, n, 128)).astype(np.uint8)
+    d2 = np.empty_like(d1)
+    for b in range(B):
+        perm = rng.permutation(n)
+        d2[b] = np.clip(d1[b, perm].astype(int)
+                        + rng.integers(-3, 4, (n, 128)), 0, 255)
+    v1 = np.ones((B, n), bool)
+    v2 = np.ones((B, n), bool)
+    v2[0, : n // 4] = False  # padding rows in one pair of the block
+    b1 = jax.vmap(m.prepare_descriptors)(d1, jax.numpy.asarray(v1))
+    b2 = jax.vmap(m.prepare_descriptors)(d2, jax.numpy.asarray(v2))
+    out = np.asarray(pm.match_pairs_batch_pallas(b1, b2, tile_m=128))
+    ref = np.asarray(m.match_pairs_batch(b1, b2))
+    assert out.shape == (B, n)
+    assert (out == ref).mean() > 0.999
 
 
 def test_pallas_matcher_handles_invalid_rows(rng):
