@@ -42,6 +42,12 @@ def convert_model(rec: Reconstruction, output_path: str, output_type: str):
         write_bundler(rec, output_path)
     elif ot == "VRML":
         write_vrml(rec, output_path)
+    elif ot == "HTML":
+        # headless-pod replacement for the reference's Qt/OpenGL viewer
+        # (ui/model_viewer_widget.h:50): self-contained WebGL artifact
+        from colmap_tpu.tools.html_viewer import write_html
+
+        write_html(rec, output_path)
     else:
         raise ValueError(f"unknown output type {output_type}")
 

@@ -65,7 +65,8 @@ def test_model_converter_formats(gt_model, tmp_path):
                      ("PLY", str(tmp_path / "m.ply")),
                      ("NVM", str(tmp_path / "m.nvm")),
                      ("Bundler", str(tmp_path / "m.out")),
-                     ("VRML", str(tmp_path / "m.wrl"))]:
+                     ("VRML", str(tmp_path / "m.wrl")),
+                     ("HTML", str(tmp_path / "m.html"))]:
         assert cli.main(["model_converter", "--input_path",
                          gt_model["model_dir"], "--output_path", out,
                          "--output_type", fmt]) == 0
@@ -73,6 +74,20 @@ def test_model_converter_formats(gt_model, tmp_path):
     # text round-trip
     rec = rio.read_model(str(tmp_path / "txt"))
     assert rec.num_registered_images() == 8
+    # the HTML viewer embeds the model: decode its base64 buffers back
+    import base64
+    import re
+
+    html = open(str(tmp_path / "m.html")).read()
+    b64s = re.findall(r'decode\("([A-Za-z0-9+/=]*)"', html)
+    assert len(b64s) == 3
+    pts = np.frombuffer(base64.b64decode(b64s[0]), np.float32).reshape(-1, 3)
+    cols = np.frombuffer(base64.b64decode(b64s[1]), np.uint8).reshape(-1, 3)
+    frusta = np.frombuffer(base64.b64decode(b64s[2]), np.float32).reshape(-1, 3)
+    assert len(pts) == len(rec.points3D) and len(cols) == len(pts)
+    # 8 segments (16 endpoints) per registered camera
+    assert len(frusta) == 16 * rec.num_registered_images()
+    assert "webgl" in html
 
 
 def test_model_transformer_and_comparer(gt_model, tmp_path, capsys):
