@@ -72,11 +72,16 @@ class SiftExtractionOptions:
     dsp_num_scales: int = 10
     # per-octave candidate capacity (TPU static-shape knob, not in reference)
     octave_capacity: int = 4096
+    # gradient sampling backend (TPU knob): "window" = per-keypoint window
+    # slices + separable-matmul taps (MXU path); "gather" = element
+    # gathers (exact legacy path, used automatically for DSP/affine)
+    sampling: str = "window"
 
     def check(self):
         assert self.octave_resolution >= 1
         assert self.max_num_orientations in (1, 2)
         assert self.normalization in ("L1_ROOT", "L2")
+        assert self.sampling in ("window", "gather")
 
 
 # --------------------------------------------------------------------------
@@ -347,6 +352,89 @@ def _nearest_vol2(grad_flat: jax.Array, h: int, w: int, base: jax.Array,
 
 
 # --------------------------------------------------------------------------
+# Window sampling: per-keypoint gradient windows + separable matmul taps
+# --------------------------------------------------------------------------
+#
+# The [K, P] element gathers above are the TPU bottleneck of description
+# (random access lowers to slow scalar-ish gathers). The window path
+# re-expresses sampling as MXU work: slice one (WH, WW) gradient window
+# per keypoint (a contiguous-lane slice gather — fast DMA), then evaluate
+# all P samples with separable interpolation weights:
+#
+#     sample[k, p] = sum_r sum_c Wy[k, p, r] * win[k, r, c] * Wx[k, p, c]
+#
+# i.e. one batched (P, WH) x (WH, WW) matmul per keypoint plus a VPU
+# row-contraction. The hat weights are zero outside the window, which
+# exactly reproduces the zero-contribution-out-of-image semantics of the
+# tap-masked gather (windows are clipped inside the image, so every
+# in-image tap of every sample lies in the window).
+
+_WIN_H = 96
+_WIN_W = 128
+# max descriptor sample radius the (96, 128) window covers: rows reach
+# +-46 around the keypoint -> _MAGNIF * sigma * (_NBP/2) * sqrt(2) <= 46
+# -> sigma <= 5.4, beyond every in-octave refined scale (sigma <= ~5.1).
+# DSP's scaled windows and affine shapes can exceed it -> gather path.
+
+
+def _win_eligible(h: int, w: int, shape_A) -> bool:
+    return shape_A is None and h >= _WIN_H and w >= _WIN_W
+
+
+def _window_vol2(grad_vol: jax.Array, lvl: jax.Array, fy: jax.Array,
+                 fx: jax.Array, ys: jax.Array, xs: jax.Array,
+                 nearest: bool = False):
+    """Sample (gx, gy) [K, P] from [L, H, W, 2] gradients via per-keypoint
+    windows. ys/xs are absolute octave coords; fy/fx the keypoint centers
+    the windows are placed around."""
+    L, h, w, _ = grad_vol.shape
+    oy = jnp.clip(jnp.round(fy).astype(jnp.int32) - _WIN_H // 2, 0, h - _WIN_H)
+    ox = jnp.clip(jnp.round(fx).astype(jnp.int32) - _WIN_W // 2, 0, w - _WIN_W)
+
+    def slice_one(l, y0, x0):
+        return jax.lax.dynamic_slice(
+            grad_vol, (l, y0, x0, 0), (1, _WIN_H, _WIN_W, 2))[0]
+
+    ry = ys - oy[:, None].astype(ys.dtype)  # [K, P] window-relative
+    rx = xs - ox[:, None].astype(xs.dtype)
+    rows = jnp.arange(_WIN_H, dtype=ys.dtype)
+    cols = jnp.arange(_WIN_W, dtype=ys.dtype)
+
+    def chunk_sample(args):
+        lvl_c, oy_c, ox_c, ry_c, rx_c = args
+        win_c = jax.vmap(slice_one)(lvl_c, oy_c, ox_c)  # [KB, WH, WW, 2]
+        if nearest:
+            wy = (jnp.abs(ry_c[..., None] - rows) <= 0.5).astype(_F32)
+            wx = (jnp.abs(rx_c[..., None] - cols) <= 0.5).astype(_F32)
+            # ties at .5: keep only the first matching row/col
+            wy = wy * (jnp.cumsum(wy, axis=-1) <= 1.0)
+            wx = wx * (jnp.cumsum(wx, axis=-1) <= 1.0)
+        else:
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(ry_c[..., None] - rows))
+            wx = jnp.maximum(0.0, 1.0 - jnp.abs(rx_c[..., None] - cols))
+        # A[k, p, c, d] = sum_r wy[k,p,r] * win[k,r,c,d]; contract over c.
+        a = jnp.einsum("kpr,krcd->kpcd", wy, win_c,
+                       preferred_element_type=_F32)
+        return jnp.einsum("kpc,kpcd->kpd", wx, a)  # [KB, P, 2]
+
+    # chunk the keypoint axis: the [KB, P, WW, 2] intermediate and the
+    # [KB, WH, WW, 2] windows are the big buffers (67 + 16 MB at KB=256)
+    # — unchunked they would be ~0.7 GB at K=2048
+    K = ys.shape[0]
+    kb = K if K <= 256 else 256
+    if K % kb == 0 and K > kb:
+        out = jax.lax.map(
+            chunk_sample,
+            (lvl.reshape(K // kb, kb), oy.reshape(K // kb, kb),
+             ox.reshape(K // kb, kb), ry.reshape(K // kb, kb, -1),
+             rx.reshape(K // kb, kb, -1)),
+        ).reshape(K, -1, 2)
+    else:
+        out = chunk_sample((lvl, oy, ox, ry, rx))
+    return out[..., 0], out[..., 1]
+
+
+# --------------------------------------------------------------------------
 # Affine shape adaptation (bulk)
 # --------------------------------------------------------------------------
 
@@ -416,7 +504,7 @@ _ORI_GRID = 16  # fixed sample grid (SiftGPU-style sampling vs VLFeat pixel loop
 
 
 def _orientations_bulk(grad_flat, h, w, base, fy, fx, sigma, max_num: int,
-                       shape_A=None):
+                       shape_A=None, grad_vol=None, lvl=None):
     """Dominant orientations for all keypoints at once.
 
     fy, fx, sigma: [K]. Returns theta [K, max_num], valid [K, max_num].
@@ -442,7 +530,10 @@ def _orientations_bulk(grad_flat, h, w, base, fy, fx, sigma, max_num: int,
         dx, dy = off[:, 0, :], off[:, 1, :]
     ys = fy[:, None] + dy  # [K, P]
     xs = fx[:, None] + dx
-    sgx, sgy = _nearest_vol2(grad_flat, h, w, base, ys, xs)
+    if grad_vol is not None and _win_eligible(h, w, shape_A):
+        sgx, sgy = _window_vol2(grad_vol, lvl, fy, fx, ys, xs, nearest=True)
+    else:
+        sgx, sgy = _nearest_vol2(grad_flat, h, w, base, ys, xs)
     mag = jnp.sqrt(sgx * sgx + sgy * sgy)
     ang = jnp.arctan2(sgy, sgx)  # [-pi, pi]
     r2 = r2u[None, :] * (wrad * wrad)[:, None]
@@ -487,7 +578,7 @@ _MAGNIF = 3.0
 
 
 def _descriptors_bulk(grad_flat, h, w, base, fy, fx, sigma, theta,
-                      shape_A=None):
+                      shape_A=None, grad_vol=None, lvl=None):
     """128-D SIFT descriptors for all oriented keypoints at once ([K] inputs).
 
     Reference semantics: VLFeat vl_sift_calc_keypoint_descriptor — 4x4x8
@@ -513,7 +604,10 @@ def _descriptors_bulk(grad_flat, h, w, base, fy, fx, sigma, theta,
         ox, oy = off[:, 0, :], off[:, 1, :]
     ys = fy[:, None] + oy
     xs = fx[:, None] + ox
-    sgx, sgy = _bilinear_vol2(grad_flat, h, w, base, ys, xs)
+    if grad_vol is not None and _win_eligible(h, w, shape_A):
+        sgx, sgy = _window_vol2(grad_vol, lvl, fy, fx, ys, xs)
+    else:
+        sgx, sgy = _bilinear_vol2(grad_flat, h, w, base, ys, xs)
     mag = jnp.sqrt(sgx * sgx + sgy * sgy)
     ang = jnp.arctan2(sgy, sgx) - theta[:, None]
     ang = jnp.mod(ang + 4 * jnp.pi, 2 * jnp.pi)
@@ -605,6 +699,13 @@ def _extract_octave(gauss: jax.Array, octave_scale: float, opts: SiftExtractionO
     grad_flat = jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1)
     lvl = jnp.clip(jnp.round(fs).astype(jnp.int32), 0, S + 2)
     lvl_base = lvl * (h * w)
+    # [L, H, W, 2] volume for the window-sampling path (MXU taps); the
+    # DSP variant scales windows beyond the fixed window radius and stays
+    # on the gather path
+    grad_vol = None
+    if not opts.domain_size_pooling and not opts.estimate_affine_shape \
+            and opts.sampling == "window":
+        grad_vol = jnp.stack([gx, gy], axis=-1)
 
     shape_A = None
     if opts.estimate_affine_shape:
@@ -614,7 +715,8 @@ def _extract_octave(gauss: jax.Array, octave_scale: float, opts: SiftExtractionO
     max_ori = opts.max_num_orientations
     theta, tvalid = _orientations_bulk(grad_flat, h, w, lvl_base,
                                        fy, fx, sigma_oct, max_ori,
-                                       shape_A=shape_A)
+                                       shape_A=shape_A, grad_vol=grad_vol,
+                                       lvl=lvl)
 
     # flatten orientations into the keypoint axis
     k = fs.shape[0]
@@ -643,9 +745,11 @@ def _extract_octave(gauss: jax.Array, octave_scale: float, opts: SiftExtractionO
                 kp_sigma * float(s_fac), kp_theta, shape_A=kp_shape)
         kp_desc = kp_desc / len(scales)
     else:
+        kp_lvl = rep(lvl) if grad_vol is not None else None
         kp_desc = _descriptors_bulk(grad_flat, h, w, kp_base,
                                     kp_fy, kp_fx, kp_sigma, kp_theta,
-                                    shape_A=kp_shape)
+                                    shape_A=kp_shape, grad_vol=grad_vol,
+                                    lvl=kp_lvl)
 
     kp_x = kp_fx * octave_scale + coord_offset
     kp_y = kp_fy * octave_scale + coord_offset

@@ -6,6 +6,8 @@ OpenCV is available) cross-implementation keypoint parity, the analog of
 MatchSiftFeaturesCPUvsGPU (sift_test.cc:613).
 """
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -30,6 +32,23 @@ def _textured_image(rng, h=256, w=320):
 @pytest.fixture(scope="module")
 def textured():
     return _textured_image(np.random.default_rng(7))
+
+
+def test_window_sampling_matches_gather(textured):
+    """The MXU window-sampling path must reproduce the gather path:
+    identical keypoints (detection is shared) and near-identical
+    descriptors (bilinear taps via separable hat-weight matmuls are the
+    same arithmetic up to float association; nearest taps differ only on
+    exact .5 rounding ties)."""
+    win = sift.extract(textured, dataclasses.replace(OPTS, sampling="window"))
+    gat = sift.extract(textured, dataclasses.replace(OPTS, sampling="gather"))
+    assert len(win["xy"]) == len(gat["xy"]) > 100
+    assert np.allclose(win["xy"], gat["xy"], atol=1e-4)
+    dw = win["descriptors"].astype(np.int32)
+    dg = gat["descriptors"].astype(np.int32)
+    # uint8-quantized descriptors: allow tiny quantization flips
+    frac_close = (np.abs(dw - dg) <= 1).mean()
+    assert frac_close > 0.999, f"only {frac_close:.4f} of entries within 1"
 
 
 def test_blob_localization():
