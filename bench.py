@@ -85,8 +85,10 @@ def bench_ba(refine_intrinsics=False, reps=5):
                            refine_intrinsics=refine_intrinsics)
     solve = jax.jit(lambda p: ba.solve(p, options))
     state = solve(problem)
-    state.cost.block_until_ready()
-    dts = _timed_reps(lambda: solve(problem).cost.block_until_ready(), reps)
+    float(np.asarray(state.cost))
+    # value-fetch (block_until_ready does not reliably block on the
+    # tunneled backend); the scalar fetch adds one RTT (~1% of a solve)
+    dts = _timed_reps(lambda: float(np.asarray(solve(problem).cost)), reps)
     iters_per_s = options.max_iterations / dts
     # closed-form CG flops: each CG iter applies J and J^T (2 x 2*nnz
     # where nnz = obs * 2 residuals * (6 pose + 3 point + k cam params))
@@ -104,6 +106,15 @@ def bench_ba(refine_intrinsics=False, reps=5):
 
 
 def bench_sift(reps=3):
+    """Batched SIFT extraction. Reports the device rate via the k-call
+    chain methodology (see bench_matcher) plus the wall rate of a single
+    dispatch incl. the tunnel RTT + keypoint/descriptor download (a few
+    MB at erratic 2-65 MB/s on this tunnel — on production hardware that
+    download is PCIe/DMA-fast and the device rate is the throughput)."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
     from colmap_tpu.features import sift
     from colmap_tpu.scene import synthetic_images as synth
 
@@ -114,6 +125,24 @@ def bench_sift(reps=3):
                       for im in images]) / 255.0).astype(np.float32)
     o = sift.SiftExtractionOptions(max_num_features=4096)
     B = len(imgs)
+    core = sift._extract_static.__wrapped__
+
+    @partial(jax.jit, static_argnames=("k",))
+    def chain(ims, k):
+        def body(carry, _):
+            out = jax.vmap(lambda im: core(im + 0.0 * carry, o))(ims)
+            return jnp.float32(out["valid"].sum()), None
+
+        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=k)
+        return c
+
+    for k in (1, 5):
+        float(np.asarray(chain(imgs, k)))  # compile both
+    t1 = _timed_reps(lambda: float(np.asarray(chain(imgs, 1))), reps)
+    t5 = _timed_reps(lambda: float(np.asarray(chain(imgs, 5))), reps)
+    per_call = (t5 - t1.min()) / 4
+    device_rate = B / per_call
+
     out = sift.extract_batch(imgs, o)
     np.asarray(out["valid"]).sum()
 
@@ -123,16 +152,27 @@ def bench_sift(reps=3):
 
     dts = _timed_reps(run, reps)
     ips = B / dts
-    return dict(value=round(float(ips.mean()), 2),
-                std=round(float(ips.std()), 2), reps=reps)
+    return dict(value=round(float(device_rate.mean()), 2),
+                std=round(float(device_rate.std()), 2), reps=reps,
+                wall_img_per_s=round(float(ips.mean()), 2),
+                wall_std=round(float(ips.std()), 2))
 
 
 def bench_matcher(reps=5, pipeline_depth=4):
-    """Production matcher path (Pallas fused kernel on TPU) with
-    pipelined dispatch: `pipeline_depth` pair-blocks in flight, which is
-    how the matching controller streams blocks in practice — a single
-    blocking call pays the full ~65 ms tunnel round trip per block."""
+    """Production matcher path (tiled-scan fused matcher on TPU).
+
+    Timing methodology: block_until_ready does not reliably block on the
+    tunneled backend, so the device rate is measured by running the
+    matcher k times inside ONE jit with a scalar carry forcing sequential
+    execution and fetching the final scalar; the (k=9 - k=1)/8 slope is
+    the true per-call device time, independent of RTT and dispatch
+    overhead. The wall rate (pipelined dispatch, value-fetched) is
+    reported alongside — on this dev tunnel it is bound by the ~25 ms
+    per-dispatch RPC, not by the chip.
+    """
     import jax
+    import jax.numpy as jnp
+    from functools import partial
 
     from colmap_tpu.features import matching
 
@@ -142,22 +182,47 @@ def bench_matcher(reps=5, pipeline_depth=4):
     d2 = rng.integers(0, 255, (B, N, 128)).astype(np.uint8)
     b1 = jax.vmap(matching.prepare_descriptors)(d1)
     b2 = jax.vmap(matching.prepare_descriptors)(d2)
-    np.asarray(matching.match_pairs_batch_auto(b1, b2))  # warm
 
-    def run():
+    if jax.default_backend() == "cpu":
+        match_core = matching.match_pairs_batch.__wrapped__
+    else:
+        match_core = matching.match_pairs_batch_scan.__wrapped__
+
+    @partial(jax.jit, static_argnames=("k",))
+    def chain(b1, b2, k):
+        def body(carry, _):
+            b1x = b1._replace(row_sum=b1.row_sum + 0.0 * carry)
+            out = match_core(b1x, b2, matching.MatchingOptions())
+            return jnp.float32(out.sum()), None
+
+        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=k)
+        return c
+
+    for k in (1, 9):
+        float(np.asarray(chain(b1, b2, k)))  # compile both
+    t1 = _timed_reps(lambda: float(np.asarray(chain(b1, b2, 1))), reps)
+    t9 = _timed_reps(lambda: float(np.asarray(chain(b1, b2, 9))), reps)
+    per_call = (t9 - t1.min()) / 8  # per-rep slope against best 1-call
+    device_rate = B / per_call
+    # wall rate: pipelined dispatch of independent calls, value-fetched
+    np.asarray(matching.match_pairs_batch_auto(b1, b2))  # warm
+    def run_wall():
         outs = [matching.match_pairs_batch_auto(b1, b2)
                 for _ in range(pipeline_depth)]
+        np.asarray(outs[-1])
         for o in outs:
-            o.block_until_ready()
-
-    dts = _timed_reps(run, reps)
-    pair_ps = B * pipeline_depth / dts
-    # algorithmic flops per pair: N^2 * 128 MACs forward + reverse
-    # (cross-check) = 2 * 2 * N^2 * 128
-    flops_per_pair = 2 * 2 * N * N * 128
-    tflops = pair_ps.mean() * flops_per_pair / 1e12
-    return dict(value=round(float(pair_ps.mean()), 1),
-                std=round(float(pair_ps.std()), 1), reps=reps,
+            jax.block_until_ready(o)
+    wall = _timed_reps(run_wall, reps)
+    wall_rate = B * pipeline_depth / wall
+    # algorithmic flops per pair: ONE exact bf16 GEMM (N^2 * 128 MACs);
+    # the single-pass kernel covers the cross-check from the same GEMM
+    flops_per_pair = 2 * N * N * 128
+    tflops = device_rate.mean() * flops_per_pair / 1e12
+    return dict(value=round(float(device_rate.mean()), 1),
+                std=round(float(device_rate.std()), 1), reps=reps,
+                wall_pipelined_pairs_per_s=round(float(wall_rate.mean()), 1),
+                dispatch_overhead_ms=round(
+                    float(max(t1.min() - per_call.mean(), 0.0)) * 1e3, 1),
                 mfu=dict(achieved_tflops=round(tflops, 2),
                          pct_of_bf16_peak=round(100 * tflops
                                                 / PEAK_BF16_TFLOPS, 2)))
@@ -203,7 +268,7 @@ def main():
     try:
         s = bench_sift()
         results["sift_batched_img_per_s_1472x1088"] = dict(
-            s, unit="img/s (batch 4, 4096 feats)",
+            s, unit="img/s device rate (batch 4, 4096 feats)",
             vs_baseline=round(s["value"] / CV2_SIFT_IMG_PER_S, 2))
     except Exception as e:  # TPU worker memory is variable; keep the line
         results["sift_batched_img_per_s_1472x1088"] = {"error": str(e)[:100]}

@@ -29,3 +29,23 @@ import jax as _jax
 # tolerate bf16 (descriptor matching) opt back in explicitly with
 # `precision=jax.lax.Precision.DEFAULT` / bf16 inputs.
 _jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent XLA compile cache: the mapper/BA programs are compiled per
+# shape class and reused across processes and runs; on tunneled/remote
+# TPU workers a cold compile takes seconds-to-minutes per program and
+# dominated early scale runs. Opt out with COLMAP_TPU_NO_COMPILE_CACHE=1
+# or point COLMAP_TPU_COMPILE_CACHE at a different directory.
+import os as _os
+
+if not _os.environ.get("COLMAP_TPU_NO_COMPILE_CACHE"):
+    _cache_dir = _os.environ.get(
+        "COLMAP_TPU_COMPILE_CACHE",
+        _os.path.expanduser("~/.cache/jax_tpu_cache"))
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        # only programs whose compile took >= 0.5 s are persisted: that is
+        # every remote/TPU program but none of the thousands of sub-ms CPU
+        # test programs (writing those to disk measurably slows the suite)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # older jax without the knobs
+        pass

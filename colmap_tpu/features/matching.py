@@ -121,22 +121,108 @@ def match_pairs_batch(b1: DescriptorBlock, b2: DescriptorBlock,
     return jax.vmap(lambda a, b: match_descriptors(a, b, options))(b1, b2)
 
 
+@partial(jax.jit, static_argnames=("options", "tile_m"))
+def match_pairs_batch_scan(b1: DescriptorBlock, b2: DescriptorBlock,
+                           options: MatchingOptions = MatchingOptions(),
+                           tile_m: int = 1024) -> jax.Array:
+    """Tiled fused matcher in pure XLA: lax.scan over M tiles with running
+    forward top-2 and reverse argmax carries (flash-attention-style).
+
+    Equivalent to match_pairs_batch but never materializes the (B, N, M)
+    similarity tensor (1 GB f32 at 16x4096^2) and never lets XLA recompute
+    the pair GEMM per reduction — each tile's (B, N, TM) similarities are
+    consumed on-chip by all four reductions in one fused loop body. The
+    GEMM runs bf16 x bf16 -> f32 which is EXACT for centered uint8
+    descriptors (values in [-128, 127] are exactly representable in bf16;
+    each 128-term product sum stays < 2^24). Single pass also covers the
+    cross-check (reverse argmax), halving the GEMM work of a two-pass
+    implementation.
+    """
+    B, n = b1.centered.shape[:2]
+    m = b2.centered.shape[1]
+    tile_m = min(tile_m, m)
+    if m % tile_m:
+        return match_pairs_batch(b1, b2, options)
+    c1 = b1.centered.astype(jnp.bfloat16)  # (B, N, 128)
+    c2t = jnp.swapaxes(b2.centered.astype(jnp.bfloat16), 1, 2)  # (B, 128, M)
+    mt = m // tile_m
+    c2_tiles = c2t.reshape(B, 128, mt, tile_m).transpose(2, 0, 1, 3)
+    rs2_tiles = b2.row_sum.reshape(B, mt, tile_m).transpose(1, 0, 2)
+    iv2_tiles = b2.inv_norm.reshape(B, mt, tile_m).transpose(1, 0, 2)
+    va2_tiles = b2.valid.reshape(B, mt, tile_m).transpose(1, 0, 2)
+
+    neg = jnp.float32(-3.0e38)
+
+    def body(carry, tile):
+        best, second, bidx, rbest, ridx, t = carry
+        c2_t, rs2_t, iv2_t, va2_t = tile
+        dots = jax.lax.dot_general(
+            c1, c2_t, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # (B, N, TM) exact
+        sims = (dots + 128.0 * b1.row_sum[:, :, None]
+                + 128.0 * rs2_t[:, None, :] - 128.0 ** 3)
+        sims = sims * (b1.inv_norm[:, :, None] * iv2_t[:, None, :])
+        fsims = jnp.where(va2_t[:, None, :], sims, neg)
+        t_best = jnp.max(fsims, axis=2)
+        t_arg = jnp.argmax(fsims, axis=2).astype(jnp.int32)
+        cols = jax.lax.broadcasted_iota(jnp.int32, fsims.shape, 2)
+        t_second = jnp.max(
+            jnp.where(cols == t_arg[:, :, None], neg, fsims), axis=2)
+        t_idx = t_arg + t * tile_m
+        new_best = jnp.maximum(best, t_best)
+        new_idx = jnp.where(t_best > best, t_idx, bidx)
+        new_second = jnp.maximum(jnp.minimum(best, t_best),
+                                 jnp.maximum(second, t_second))
+        # reverse (cross-check): argmax over query rows for this tile
+        rsims = jnp.where(b1.valid[:, :, None], sims, neg)
+        col_best = jnp.max(rsims, axis=1)  # (B, TM)
+        col_arg = jnp.argmax(rsims, axis=1).astype(jnp.int32)
+        rbest = jax.lax.dynamic_update_slice_in_dim(
+            rbest, col_best, t * tile_m, axis=1)
+        ridx = jax.lax.dynamic_update_slice_in_dim(
+            ridx, col_arg, t * tile_m, axis=1)
+        return (new_best, new_second, new_idx, rbest, ridx, t + 1), None
+
+    init = (jnp.full((B, n), neg), jnp.full((B, n), neg),
+            jnp.full((B, n), -1, jnp.int32),
+            jnp.full((B, m), neg), jnp.full((B, m), -1, jnp.int32),
+            jnp.int32(0))
+    (best, second, idx, rbest, ridx, _), _ = jax.lax.scan(
+        body, init, (c2_tiles, rs2_tiles, iv2_tiles, va2_tiles))
+
+    best_dist = jnp.arccos(jnp.clip(best, -1.0, 1.0))
+    second_dist = jnp.arccos(jnp.clip(second, -1.0, 1.0))
+    ok = best > -1e20
+    ok &= best_dist <= options.max_distance
+    ok &= best_dist < options.max_ratio * second_dist
+    if options.cross_check:
+        rev = jnp.where(rbest > -1e20, ridx, -1)  # (B, M)
+        rev_at_best = jnp.take_along_axis(rev, jnp.maximum(idx, 0), axis=1)
+        ok &= rev_at_best == jnp.arange(n)[None, :]
+    return jnp.where(ok & b1.valid, idx, -1).astype(jnp.int32)
+
+
 def match_pairs_batch_auto(b1: DescriptorBlock, b2: DescriptorBlock,
                            options: MatchingOptions = MatchingOptions()
                            ) -> jax.Array:
-    """Production dispatch: the fused Pallas kernel on TPU (similarity
-    tiles stay in VMEM — the XLA path materializes (B, N, M) f32 in HBM
-    and re-reads it per reduction), exact XLA everywhere else or when the
-    capacity isn't Mosaic-tileable (multiple of 128)."""
+    """Production dispatch on TPU: the tiled scan matcher (similarity
+    tiles are consumed on-chip — the naive XLA path materializes
+    (B, N, M) f32 in HBM and re-reads it per reduction). Set
+    COLMAP_TPU_PALLAS_MATCHER=1 to use the Pallas kernel instead (same
+    algorithm; execution support varies by runtime). Exact XLA everywhere
+    else or when the capacity isn't 128-tileable."""
     import os
 
     n, m = b1.centered.shape[1], b2.centered.shape[1]
     if (jax.default_backend() != "cpu"
-            and not os.environ.get("COLMAP_TPU_NO_PALLAS")
             and n % 128 == 0 and m % 128 == 0):
-        from colmap_tpu.features.pallas_matcher import match_pairs_batch_pallas
+        if os.environ.get("COLMAP_TPU_PALLAS_MATCHER"):
+            from colmap_tpu.features.pallas_matcher import (
+                match_pairs_batch_pallas,
+            )
 
-        return match_pairs_batch_pallas(b1, b2, options)
+            return match_pairs_batch_pallas(b1, b2, options)
+        return match_pairs_batch_scan(b1, b2, options)
     return match_pairs_batch(b1, b2, options)
 
 

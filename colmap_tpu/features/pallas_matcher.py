@@ -1,22 +1,33 @@
-"""Pallas TPU kernel: fused descriptor matching (GEMM + running top-2).
+"""Pallas TPU kernel: fused descriptor matching (int8 GEMM + running top-2).
 
 The XLA matcher (features/matching.py) materializes the (N, M) similarity
-matrix in HBM (256 MB for an 8192^2 pair) and then reduces it three times.
-This kernel tiles the GEMM over M and keeps ONLY the running best /
-second-best similarity and best index per query row in VMEM — the
-similarity matrix never leaves the chip.
+matrix in HBM (256 MB for an 8192^2 pair) and then reduces it three times;
+with cross-check it runs the GEMM twice. This kernel tiles the GEMM over
+(N, M), keeps the similarity tile in VMEM only, and produces BOTH the
+forward running top-2 (best/second similarity + best index per query row)
+and the reverse running argmax (per target column, for the cross check) in
+ONE sweep — half the GEMM work of a two-pass cross-check.
 
-Trick: the exact-uint8 rank-1 corrections and norms fold into AUGMENTED
-descriptors, so the whole similarity is ONE MXU contraction:
+The GEMM runs at the MXU's full bf16 rate and is still EXACT: centered
+descriptors lie in [-128, 127], every such integer is exactly
+representable in bf16, and the f32 accumulator holds each 128-term
+product sum (< 2^24) exactly. The exact uint8 dot product is recovered
+in-kernel from the rank-1 correction
 
-    aug1[i] = inv_norm1[i] * [c1, row_sum1[i], 1,   1, 0...]
-    aug2[j] = inv_norm2[j] * [c2, 128, 128*row_sum2[j] - 128^3, B_j, 0...]
+    a . b = (a-128).(b-128) + 128*sum(a) + 128*sum(b) - 128^3
 
-with B_j a large negative bias for invalid rows; then sims = aug1 @ aug2^T.
-Mosaic constraints honored: operand blocks are (mult-of-8, mult-of-128);
-per-row running stats live in (8, N) carry blocks (rows 0..2 used).
+using precomputed row sums, then normalized by precomputed inverse norms
+(all terms < 2^24, so f32 arithmetic is exact; see features/matching.py).
 
-matching.match_descriptors remains the portable exact fallback.
+Carry layout (Mosaic-friendly):
+  * forward stats live in (8, TN) output blocks revisited consecutively
+    across the M sweep (M is the fastest grid axis);
+  * reverse stats live in a (Mt, 8, TM) output block whose index map is
+    constant per pair, so it stays VMEM-resident for the whole sweep and
+    flushes once — effectively scratch with an automatic final write-out.
+
+Reference: SiftGPU's device-resident matcher (SiftMatchCU.cpp); the exact
+XLA matcher (matching.match_descriptors) remains the portable fallback.
 """
 
 from __future__ import annotations
@@ -25,208 +36,138 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from colmap_tpu.features.matching import DescriptorBlock, MatchingOptions
 
 _NEG = -3.0e38
-_AUG = 256  # augmented descriptor width (128 data + 4 used + pad)
 
 
-def _augment(b: DescriptorBlock, side: int) -> jax.Array:
-    """(N, 256) f32 augmented descriptors (see module docstring)."""
-    n = b.centered.shape[0]
-    c = b.centered.astype(jnp.float32)
-    ones = jnp.ones((n, 1), jnp.float32)
-    if side == 1:
-        cols = [c, b.row_sum[:, None], ones, ones]
-        scale = b.inv_norm[:, None]
-    else:
-        bias = jnp.where(b.valid, 0.0, -1e30)[:, None]
-        cols = [c, 128.0 * ones, (128.0 * b.row_sum - 128.0**3)[:, None], bias]
-        # invalid rows may have zero norm -> keep scale finite
-        scale = jnp.where(b.valid, b.inv_norm, 1.0)[:, None]
-    aug = jnp.concatenate(cols, axis=1) * scale
-    pad = _AUG - aug.shape[1]
-    return jnp.pad(aug, ((0, 0), (0, pad)))
+def _pack_meta(b: DescriptorBlock) -> jax.Array:
+    """(B, 8, N) f32 per-row metadata: rows 0=row_sum, 1=inv_norm, 2=valid."""
+    z = jnp.zeros_like(b.row_sum)
+    return jnp.stack(
+        [b.row_sum, b.inv_norm, b.valid.astype(jnp.float32), z, z, z, z, z],
+        axis=-2)
 
 
-def _matcher_kernel(a1_ref, a2_ref, stats_ref, idx_ref):
-    """2-D grid (N tiles x M tiles, M fastest); carries running top-2 in
-    (8, TN) blocks revisited across the M sweep.
+def _matcher_kernel(c1_ref, c2_ref, m1_ref, m2_ref,
+                    fs_ref, fi_ref, rs_ref, ri_ref):
+    """Grid (B, N tiles, M tiles), M fastest.
 
-    a1 tile: (TN, 256) f32; a2 tile: (TM, 256) f32.
-    stats rows: 0 = best, 1 = second. idx row 0 = best index.
+    c1 tile (1, TN, 128) bf16; c2 tile (1, 128, TM) bf16 (pre-transposed —
+    Mosaic only lowers the transposed-rhs contraction for f32 operands);
+    m1 (1, 8, TN) f32 meta; m2 (1, 8, TM) f32 meta.
+    fs/fi: (1, 8, TN) forward carry (row 0 best, row 1 second / row 0 idx).
+    rs/ri: (1, Mt, 8, TM) reverse carry (row 0 best / row 0 idx).
     """
     from jax.experimental import pallas as pl
 
-    t = pl.program_id(1)
-
-    @pl.when(t == 0)
-    def _init():
-        stats_ref[:] = jnp.full_like(stats_ref, _NEG)
-        idx_ref[:] = jnp.full_like(idx_ref, -1)
-
-    sims = jax.lax.dot_general(
-        a1_ref[:], a2_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)  # (N, TM)
-
-    tm = sims.shape[1]
-    tile_best = jnp.max(sims, axis=1)  # (N,)
-    tile_arg = jnp.argmax(sims, axis=1).astype(jnp.int32)
-    cols = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1)
-    tile_second = jnp.max(
-        jnp.where(cols == tile_arg[:, None], _NEG, sims), axis=1)
-    tile_idx = tile_arg + t * tm
-
-    cur_best = stats_ref[0, :]
-    cur_second = stats_ref[1, :]
-    cur_idx = idx_ref[0, :]
-
-    new_best = jnp.maximum(cur_best, tile_best)
-    new_idx = jnp.where(tile_best > cur_best, tile_idx, cur_idx)
-    new_second = jnp.maximum(
-        jnp.minimum(cur_best, tile_best),
-        jnp.maximum(cur_second, tile_second))
-    stats_ref[0, :] = new_best
-    stats_ref[1, :] = new_second
-    idx_ref[0, :] = new_idx
-
-
-@functools.partial(jax.jit, static_argnames=("tile_m",))
-def _top2_forward(b1: DescriptorBlock, b2: DescriptorBlock, tile_m: int = 2048):
-    """Running top-2 over image-2 tiles. Returns (best, second, idx), (n,)."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    n = b1.centered.shape[0]
-    m = b2.centered.shape[0]
-    tile_n = min(1024, n)
-    tile_m = min(tile_m, m)
-    assert n % tile_n == 0 and m % tile_m == 0 \
-        and tile_n % 128 == 0 and tile_m % 128 == 0, \
-        f"pad descriptor capacity to a multiple of 128 (n={n}, m={m})"
-    a1 = _augment(b1, 1)
-    a2 = _augment(b2, 2)
-    # M is the fast axis so each N tile completes its sweep with its carry
-    # block resident in VMEM; sims tile is (TN, TM) = 4 MB
-    grid = (n // tile_n, m // tile_m)
-
-    stats, idx = pl.pallas_call(
-        _matcher_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((tile_n, _AUG), lambda i, t: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_m, _AUG), lambda i, t: (t, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((8, tile_n), lambda i, t: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, tile_n), lambda i, t: (0, i),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((8, n), jnp.float32),
-            jax.ShapeDtypeStruct((8, n), jnp.int32),
-        ),
-    )(a1, a2)
-    return stats[0], stats[1], idx[0]
-
-
-def match_descriptors_pallas(b1: DescriptorBlock, b2: DescriptorBlock,
-                             options: MatchingOptions = MatchingOptions(),
-                             tile_m: int = 2048) -> jax.Array:
-    """Drop-in replacement for matching.match_descriptors on TPU."""
-    best, second, idx = _top2_forward(b1, b2, tile_m=tile_m)
-    best_dist = jnp.arccos(jnp.clip(best, -1.0, 1.0))
-    second_dist = jnp.arccos(jnp.clip(second, -1.0, 1.0))
-    ok = best > -1e20
-    ok &= best_dist <= options.max_distance
-    ok &= best_dist < options.max_ratio * second_dist
-    if options.cross_check:
-        rbest, _, ridx = _top2_forward(b2, b1, tile_m=tile_m)
-        n = b1.centered.shape[0]
-        rev = jnp.where(rbest > -1e20, ridx, -1)
-        ok &= rev[jnp.maximum(idx, 0)] == jnp.arange(n)
-    return jnp.where(ok & b1.valid, idx, -1).astype(jnp.int32)
-
-
-# ---------------------------------------------------------------------------
-# pair-batched kernel: one pallas_call over a (B, n-tiles, m-tiles) grid.
-# The similarity matrices of a whole block of image pairs never touch HBM
-# — only the (B, N) top-2 stats do. This is the production matching path
-# (controllers/feature_matching.py) on TPU; the vmapped XLA matcher
-# materializes (B, N, M) f32 in HBM (1 GB at 16x4096^2) and re-reads it
-# for every reduction.
-# ---------------------------------------------------------------------------
-
-
-def _matcher_kernel_batch(a1_ref, a2_ref, stats_ref, idx_ref):
-    """Grid (B, N tiles, M tiles), M fastest; same running top-2 as
-    _matcher_kernel with a leading size-1 batch block dim."""
-    from jax.experimental import pallas as pl
-
+    i = pl.program_id(1)
     t = pl.program_id(2)
+    tn = c1_ref.shape[1]
+    tm = c2_ref.shape[2]
 
-    @pl.when(t == 0)
-    def _init():
-        stats_ref[:] = jnp.full_like(stats_ref, _NEG)
-        idx_ref[:] = jnp.full_like(idx_ref, -1)
+    # centered int8 values are exactly representable in bf16 and each
+    # product pair-sum stays < 2^24, so the bf16 MXU path with f32
+    # accumulation is EXACT here — full bf16 throughput, no int8 lowering
+    dots = jax.lax.dot_general(
+        c1_ref[0], c2_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (TN, TM) exact f32
 
-    sims = jax.lax.dot_general(
-        a1_ref[0], a2_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)  # (TN, TM)
+    rs1 = m1_ref[0, 0, :]
+    inv1 = m1_ref[0, 1, :]
+    val1 = m1_ref[0, 2, :]
+    rs2 = m2_ref[0, 0, :]
+    inv2 = m2_ref[0, 1, :]
+    val2 = m2_ref[0, 2, :]
 
-    tm = sims.shape[1]
-    tile_best = jnp.max(sims, axis=1)
-    tile_arg = jnp.argmax(sims, axis=1).astype(jnp.int32)
-    cols = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1)
+    # rank-1 correction + normalization (exact in f32: all terms < 2^24)
+    sims = (dots
+            + 128.0 * rs1[:, None] + 128.0 * rs2[None, :] - 128.0 ** 3)
+    sims = sims * (inv1[:, None] * inv2[None, :])
+
+    # ---- forward: top-2 over target columns (invalid targets masked)
+    fsims = jnp.where(val2[None, :] > 0, sims, _NEG)
+    tile_best = jnp.max(fsims, axis=1)
+    tile_arg = jnp.argmax(fsims, axis=1).astype(jnp.int32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, fsims.shape, 1)
     tile_second = jnp.max(
-        jnp.where(cols == tile_arg[:, None], _NEG, sims), axis=1)
+        jnp.where(cols == tile_arg[:, None], _NEG, fsims), axis=1)
     tile_idx = tile_arg + t * tm
 
-    cur_best = stats_ref[0, 0, :]
-    cur_second = stats_ref[0, 1, :]
-    cur_idx = idx_ref[0, 0, :]
+    @pl.when(t == 0)
+    def _init_fwd():
+        fs_ref[0, 0, :] = tile_best
+        fs_ref[0, 1, :] = tile_second
+        fi_ref[0, 0, :] = tile_idx
 
-    new_best = jnp.maximum(cur_best, tile_best)
-    new_idx = jnp.where(tile_best > cur_best, tile_idx, cur_idx)
-    new_second = jnp.maximum(
-        jnp.minimum(cur_best, tile_best),
-        jnp.maximum(cur_second, tile_second))
-    stats_ref[0, 0, :] = new_best
-    stats_ref[0, 1, :] = new_second
-    idx_ref[0, 0, :] = new_idx
+    @pl.when(t != 0)
+    def _merge_fwd():
+        cur_best = fs_ref[0, 0, :]
+        cur_second = fs_ref[0, 1, :]
+        cur_idx = fi_ref[0, 0, :]
+        fs_ref[0, 0, :] = jnp.maximum(cur_best, tile_best)
+        fs_ref[0, 1, :] = jnp.maximum(
+            jnp.minimum(cur_best, tile_best),
+            jnp.maximum(cur_second, tile_second))
+        fi_ref[0, 0, :] = jnp.where(tile_best > cur_best, tile_idx, cur_idx)
+
+    # ---- reverse: argmax over query rows (invalid queries masked)
+    rsims = jnp.where(val1[:, None] > 0, sims, _NEG)
+    col_best = jnp.max(rsims, axis=0)
+    col_arg = jnp.argmax(rsims, axis=0).astype(jnp.int32) + i * tn
+
+    @pl.when(i == 0)
+    def _init_rev():
+        rs_ref[0, t, 0, :] = col_best
+        ri_ref[0, t, 0, :] = col_arg
+
+    @pl.when(i != 0)
+    def _merge_rev():
+        prev_best = rs_ref[0, t, 0, :]
+        prev_idx = ri_ref[0, t, 0, :]
+        rs_ref[0, t, 0, :] = jnp.maximum(prev_best, col_best)
+        ri_ref[0, t, 0, :] = jnp.where(col_best > prev_best, col_arg, prev_idx)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_m",))
-def _top2_forward_batch(b1: DescriptorBlock, b2: DescriptorBlock,
-                        tile_m: int = 2048):
-    """Running top-2 for a batch of pairs: centered (B, N, 128).
-    Returns (best, second, idx), each (B, N)."""
+@functools.partial(jax.jit, static_argnames=("tile_n", "tile_m"))
+def _top2_fwd_rev_batch(b1: DescriptorBlock, b2: DescriptorBlock,
+                        tile_n: int = 1024, tile_m: int = 1024):
+    """One-sweep forward top-2 + reverse argmax for a batch of pairs.
+
+    b1/b2 hold batched arrays: centered (B, N, 128), row_sum (B, N), ...
+    Returns (best, second, idx) each (B, N) and (rev_best, rev_idx) each
+    (B, M).
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B, n = b1.centered.shape[:2]
     m = b2.centered.shape[1]
-    tile_n = min(1024, n)
+    tile_n = min(tile_n, n)
     tile_m = min(tile_m, m)
     assert n % tile_n == 0 and m % tile_m == 0 \
         and tile_n % 128 == 0 and tile_m % 128 == 0, \
         f"pad descriptor capacity to a multiple of 128 (n={n}, m={m})"
-    a1 = jax.vmap(lambda b: _augment(b, 1))(b1)  # (B, N, AUG)
-    a2 = jax.vmap(lambda b: _augment(b, 2))(b2)
-    grid = (B, n // tile_n, m // tile_m)
+    mt = m // tile_m
+    meta1 = _pack_meta(b1)  # (B, 8, N)
+    meta2 = _pack_meta(b2)  # (B, 8, M)
+    grid = (B, n // tile_n, mt)
+    c1 = b1.centered.astype(jnp.bfloat16)
+    c2t = jnp.swapaxes(b2.centered.astype(jnp.bfloat16), 1, 2)  # (B, 128, M)
 
-    stats, idx = pl.pallas_call(
-        _matcher_kernel_batch,
+    fs, fi, rs, ri = pl.pallas_call(
+        _matcher_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, tile_n, _AUG), lambda b, i, t: (b, i, 0),
+            pl.BlockSpec((1, tile_n, 128), lambda b, i, t: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_m, _AUG), lambda b, i, t: (b, t, 0),
+            pl.BlockSpec((1, 128, tile_m), lambda b, i, t: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, tile_n), lambda b, i, t: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, tile_m), lambda b, i, t: (b, 0, t),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -234,34 +175,53 @@ def _top2_forward_batch(b1: DescriptorBlock, b2: DescriptorBlock,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, tile_n), lambda b, i, t: (b, 0, i),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mt, 8, tile_m), lambda b, i, t: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mt, 8, tile_m), lambda b, i, t: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, 8, n), jnp.float32),
             jax.ShapeDtypeStruct((B, 8, n), jnp.int32),
+            jax.ShapeDtypeStruct((B, mt, 8, tile_m), jnp.float32),
+            jax.ShapeDtypeStruct((B, mt, 8, tile_m), jnp.int32),
         ),
-    )(a1, a2)
-    return stats[:, 0], stats[:, 1], idx[:, 0]
+    )(c1, c2t, meta1, meta2)
+    rev_best = rs[:, :, 0, :].reshape(B, m)
+    rev_idx = ri[:, :, 0, :].reshape(B, m)
+    return fs[:, 0], fs[:, 1], fi[:, 0], rev_best, rev_idx
 
 
-@functools.partial(jax.jit, static_argnames=("options", "tile_m"))
+@functools.partial(jax.jit, static_argnames=("options", "tile_n", "tile_m"))
 def match_pairs_batch_pallas(b1: DescriptorBlock, b2: DescriptorBlock,
                              options: MatchingOptions = MatchingOptions(),
-                             tile_m: int = 2048) -> jax.Array:
+                             tile_n: int = 1024,
+                             tile_m: int = 1024) -> jax.Array:
     """Pair-batched drop-in for matching.match_pairs_batch on TPU.
 
     b1/b2 hold batched arrays: centered (B, N, 128), row_sum (B, N), ...
     Returns (B, N) int32 match indices into b2 (-1 = none).
     """
-    best, second, idx = _top2_forward_batch(b1, b2, tile_m=tile_m)
+    best, second, idx, rbest, ridx = _top2_fwd_rev_batch(
+        b1, b2, tile_n=tile_n, tile_m=tile_m)
     best_dist = jnp.arccos(jnp.clip(best, -1.0, 1.0))
     second_dist = jnp.arccos(jnp.clip(second, -1.0, 1.0))
     ok = best > -1e20
     ok &= best_dist <= options.max_distance
     ok &= best_dist < options.max_ratio * second_dist
     if options.cross_check:
-        rbest, _, ridx = _top2_forward_batch(b2, b1, tile_m=tile_m)
         n = b1.centered.shape[1]
         rev = jnp.where(rbest > -1e20, ridx, -1)  # (B, M)
         rev_at_best = jnp.take_along_axis(rev, jnp.maximum(idx, 0), axis=1)
         ok &= rev_at_best == jnp.arange(n)[None, :]
     return jnp.where(ok & b1.valid, idx, -1).astype(jnp.int32)
+
+
+def match_descriptors_pallas(b1: DescriptorBlock, b2: DescriptorBlock,
+                             options: MatchingOptions = MatchingOptions(),
+                             tile_m: int = 1024) -> jax.Array:
+    """Single-pair drop-in for matching.match_descriptors on TPU."""
+    b1b = jax.tree_util.tree_map(lambda x: x[None], b1)
+    b2b = jax.tree_util.tree_map(lambda x: x[None], b2)
+    return match_pairs_batch_pallas(b1b, b2b, options,
+                                    tile_n=tile_m, tile_m=tile_m)[0]

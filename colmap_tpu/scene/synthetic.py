@@ -41,6 +41,15 @@ class SyntheticDatasetOptions:
     point2D_stddev: float = 0.0
     inlier_match_ratio: float = 1.0
     match_config: MatchConfig = MatchConfig.EXHAUSTIVE
+    # CHAINED topology: match (i, i+k) for k<=match_overlap (the shape the
+    # sequential matcher produces with --SequentialMatching.overlap)
+    match_overlap: int = 1
+    # 0 = every point visible from every camera (reference behavior). >0 =
+    # each point is anchored to a position on the camera circle and only
+    # observed by the nearest `point_visibility_images` cameras — realistic
+    # local co-visibility for scale runs (bounds track length and total
+    # observation count, like a real walk-around capture).
+    point_visibility_images: int = 0
     use_prior_position: bool = False
     prior_position_stddev: float = 1.5
     seed: int = 42
@@ -120,6 +129,12 @@ def synthesize_dataset(options: SyntheticDatasetOptions,
     # Project points into each image
     all_tracks = {j: [] for j in range(options.num_points3D)}
     image_obs = {}
+    if options.point_visibility_images > 0:
+        # anchor each point to a camera-circle position; drawn only when
+        # the option is on so the default rng stream (and every existing
+        # fixture) is unchanged
+        point_anchor = rng.integers(0, options.num_images,
+                                    size=options.num_points3D)
     for i in range(options.num_images):
         iid = i + 1
         cid = camera_ids[i % len(camera_ids)]
@@ -142,6 +157,10 @@ def synthesize_dataset(options: SyntheticDatasetOptions,
             & (xy[:, 1] >= 0)
             & (xy[:, 1] < cam.height)
         )
+        if options.point_visibility_images > 0:
+            d = np.abs(point_anchor - i)
+            d = np.minimum(d, options.num_images - d)  # circular distance
+            in_img &= d <= options.point_visibility_images // 2
         vis_idx = np.nonzero(in_img)[0]
         # observed keypoints: visible 3D points first, then random clutter
         clutter = rng.uniform(
@@ -197,7 +216,9 @@ def synthesize_dataset(options: SyntheticDatasetOptions,
                 (a + 1, b + 1) for a in range(num_img) for b in range(a + 1, num_img)
             ]
         else:
-            pairs = [(i + 1, i + 2) for i in range(num_img - 1)]
+            pairs = [(i + 1, i + 1 + k)
+                     for k in range(1, options.match_overlap + 1)
+                     for i in range(num_img - k)]
         for iid1, iid2 in pairs:
             xys1, ids1 = image_obs[iid1]
             xys2, ids2 = image_obs[iid2]

@@ -86,6 +86,31 @@ def test_match_pairs_batch(rng):
     np.testing.assert_array_equal(np.asarray(m), np.tile(np.arange(N), (B, 1)))
 
 
+def test_match_pairs_batch_scan_agrees(rng):
+    """The tiled-scan TPU matcher must agree with the exact XLA matcher,
+    including padding-row and cross-check semantics."""
+    B, N = 3, 256
+    d1 = rng.integers(0, 200, (B, N, 128)).astype(np.uint8)
+    d2 = np.empty_like(d1)
+    for b in range(B):
+        perm = rng.permutation(N)
+        d2[b] = np.clip(d1[b, perm].astype(int)
+                        + rng.integers(-3, 4, (N, 128)), 0, 255)
+    v1 = np.ones((B, N), bool)
+    v2 = np.ones((B, N), bool)
+    v2[0, : N // 4] = False
+    v1[1, : N // 8] = False
+    import jax
+
+    b1 = jax.vmap(matching.prepare_descriptors)(d1, jnp.asarray(v1))
+    b2 = jax.vmap(matching.prepare_descriptors)(d2, jnp.asarray(v2))
+    ref = np.asarray(matching.match_pairs_batch(b1, b2))
+    out = np.asarray(matching.match_pairs_batch_scan(b1, b2, tile_m=64))
+    assert (out == ref).mean() > 0.999
+    # no match may point at an invalid target row
+    assert not np.any((out[0] >= 0) & (out[0] < N // 4))
+
+
 def test_matches_to_pairs():
     m = np.array([3, -1, 0, -1, 7], dtype=np.int32)
     pairs = matching.matches_to_pairs(m)

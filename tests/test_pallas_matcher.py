@@ -25,8 +25,7 @@ def _interpret(monkeypatch):
 
     monkeypatch.setattr(pl, "pallas_call", patched)
     # bypass the jit wrappers (their caches would keep a non-interpret build)
-    for name in ("_top2_forward", "_top2_forward_batch",
-                 "match_pairs_batch_pallas"):
+    for name in ("_top2_fwd_rev_batch", "match_pairs_batch_pallas"):
         fn = getattr(pm, name)
         if hasattr(fn, "__wrapped__"):
             monkeypatch.setattr(pm, name, fn.__wrapped__)
