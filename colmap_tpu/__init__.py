@@ -38,9 +38,16 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 import os as _os
 
 if not _os.environ.get("COLMAP_TPU_NO_COMPILE_CACHE"):
+    # One cache dir PER PLATFORM: XLA:CPU persists machine-feature-stamped
+    # AOT executables, and loading one whose features mismatch the host
+    # aborts the process (cpu_aot_loader). Keeping CPU-test entries out of
+    # the TPU cache avoids that hazard and keeps the TPU dir small.
+    _platform = _os.environ.get("JAX_PLATFORMS", "").split(",")[0] or "tpu"
     _cache_dir = _os.environ.get(
         "COLMAP_TPU_COMPILE_CACHE",
-        _os.path.expanduser("~/.cache/jax_tpu_cache"))
+        _os.path.expanduser("~/.cache/jax_tpu_cache"
+                            + ("" if _platform in ("tpu", "axon")
+                               else f"_{_platform}")))
     try:
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)
         # only programs whose compile took >= 0.5 s are persisted: that is

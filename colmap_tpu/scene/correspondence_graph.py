@@ -8,9 +8,11 @@ mapper reads slices out of it to form device batches.
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
+
+from colmap_tpu import native
 
 
 class CorrespondenceGraph:
@@ -32,43 +34,67 @@ class CorrespondenceGraph:
         if image_id1 > image_id2:
             image_id1, image_id2 = image_id2, image_id1
             matches = matches[:, ::-1]
-        self._matches[(image_id1, image_id2)] = np.asarray(matches, np.int64)
+        self._matches[(image_id1, image_id2)] = np.ascontiguousarray(
+            matches, np.int32)
 
     def finalize(self):
-        """Build per-image CSR: feature -> [(other_image, other_feat)]."""
-        per_image_edges: Dict[int, List[np.ndarray]] = {i: [] for i in self._num_observations}
-        for (i1, i2), m in self._matches.items():
-            if len(m) == 0:
-                continue
-            e1 = np.empty((len(m), 3), np.int64)
-            e1[:, 0] = m[:, 0]
-            e1[:, 1] = i2
-            e1[:, 2] = m[:, 1]
-            per_image_edges[i1].append(e1)
-            e2 = np.empty((len(m), 3), np.int64)
-            e2[:, 0] = m[:, 1]
-            e2[:, 1] = i1
-            e2[:, 2] = m[:, 0]
-            per_image_edges[i2].append(e2)
+        """Build the feature -> [(other_image, other_feat)] CSR.
 
+        ONE global counting sort (native ct_build_csr) over all 2E edge rows
+        keyed by global feature slot, instead of a per-image argsort+gather
+        pass: at 200 exhaustively-matched images (~40M rows) the per-image
+        numpy version took minutes of host time (this host's memory system
+        runs strided gathers at ~100 MB/s); the global pass is two linear
+        scans.
+        """
+        img_ids = sorted(self._num_observations)
+        idx_of = {iid: k for k, iid in enumerate(img_ids)}
+        nf = np.array([self._num_observations[i] for i in img_ids], np.int64)
+        base = np.concatenate([[0], np.cumsum(nf)])  # global feature slots
+        n_bins = int(base[-1])
+
+        total = 2 * sum(len(m) for m in self._matches.values())
+        key = np.empty(total, np.int64)
+        oimg = np.empty(total, np.int32)
+        ofeat = np.empty(total, np.int32)
+        pos = 0
+        for (i1, i2), m in self._matches.items():
+            k = len(m)
+            if k == 0:
+                continue
+            key[pos:pos + k] = base[idx_of[i1]] + m[:, 0]
+            oimg[pos:pos + k] = i2
+            ofeat[pos:pos + k] = m[:, 1]
+            pos += k
+            key[pos:pos + k] = base[idx_of[i2]] + m[:, 1]
+            oimg[pos:pos + k] = i1
+            ofeat[pos:pos + k] = m[:, 0]
+            pos += k
+
+        offsets, order = native.build_csr(key[:pos], n_bins)
+        self._g_offsets = offsets          # (n_bins + 1,)
+        self._g_imgs = oimg[:pos][order]   # (E2,) int32
+        self._g_feats = ofeat[:pos][order]
+        self._base = {iid: (int(base[k]), int(nf[k]))
+                      for k, iid in enumerate(img_ids)}
         self._csr: Dict[int, Tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
-        for image_id, chunks in per_image_edges.items():
-            nf = self._num_observations[image_id]
-            if chunks:
-                edges = np.concatenate(chunks, axis=0)
-                order = np.argsort(edges[:, 0], kind="stable")
-                edges = edges[order]
-                offsets = np.searchsorted(edges[:, 0], np.arange(nf + 1))
-                self._csr[image_id] = (offsets, edges[:, 1], edges[:, 2])
-                self._num_correspondences[image_id] = len(edges)
-            else:
-                self._csr[image_id] = (
-                    np.zeros(nf + 1, np.int64),
-                    np.zeros(0, np.int64),
-                    np.zeros(0, np.int64),
-                )
-                self._num_correspondences[image_id] = 0
+        for iid in img_ids:
+            b, n = self._base[iid]
+            self._num_correspondences[iid] = int(
+                self._g_offsets[b + n] - self._g_offsets[b])
         self.finalized = True
+
+    def _image_csr(self, image_id: int):
+        """Per-image view (offsets (F+1) local, imgs (E,), feats (E,));
+        rebased lazily from the global CSR and cached."""
+        got = self._csr.get(image_id)
+        if got is None:
+            b, n = self._base[image_id]
+            lo, hi = int(self._g_offsets[b]), int(self._g_offsets[b + n])
+            offsets = self._g_offsets[b:b + n + 1] - lo
+            got = (offsets, self._g_imgs[lo:hi], self._g_feats[lo:hi])
+            self._csr[image_id] = got
+        return got
 
     # -- queries -------------------------------------------------------------
     def image_ids(self):
@@ -88,16 +114,16 @@ class CorrespondenceGraph:
 
     def find_correspondences(self, image_id: int, point2D_idx: int):
         """-> (other_image_ids (K,), other_feat_idx (K,)) numpy views."""
-        offsets, imgs, feats = self._csr[image_id]
+        offsets, imgs, feats = self._image_csr(image_id)
         a, b = offsets[point2D_idx], offsets[point2D_idx + 1]
         return imgs[a:b], feats[a:b]
 
     def find_correspondences_all(self, image_id: int):
         """CSR arrays for a whole image: (offsets (F+1,), imgs (E,), feats (E,))."""
-        return self._csr[image_id]
+        return self._image_csr(image_id)
 
     def has_correspondences(self, image_id: int, point2D_idx: int) -> bool:
-        offsets, _, _ = self._csr[image_id]
+        offsets, _, _ = self._image_csr(image_id)
         return offsets[point2D_idx + 1] > offsets[point2D_idx]
 
     def find_transitive_correspondences(self, image_id: int, point2D_idx: int,

@@ -10,6 +10,7 @@ from ready arrays.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, Optional
 
 import numpy as np
@@ -29,6 +30,44 @@ class CachedImage:
     rays: np.ndarray  # (F, 2) float32 normalized camera coords
 
 
+@functools.lru_cache(maxsize=None)
+def _rays_jit(model_id: int):
+    import jax
+
+    return jax.jit(jax.vmap(
+        lambda p, xy: camera_models.cam_from_img(model_id, p, xy)))
+
+
+def _rays_batched(cam_xys) -> list:
+    """Normalized camera rays for many images in a few jitted device calls.
+
+    cam_from_img called eagerly per image re-traces its Newton fori_loop
+    every call (~1 s/image of pure host tracing); grouping images by
+    (model_id, capacity bucket) and vmapping pads each group into ONE
+    compiled program (reference: the per-keypoint loop in
+    src/colmap/scene/reconstruction.cc Point2D normalization).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    out: list = [None] * len(cam_xys)
+    groups: Dict[tuple, list] = {}
+    for k, (cam, xys) in enumerate(cam_xys):
+        cap = max(64, 1 << (max(len(xys), 1) - 1).bit_length())
+        groups.setdefault((cam.model_id, cap), []).append(k)
+
+    for (model_id, cap), idxs in groups.items():
+        params = np.stack([cam_xys[k][0].padded_params() for k in idxs])
+        xy_pad = np.zeros((len(idxs), cap, 2), np.float32)
+        for row, k in enumerate(idxs):
+            xy_pad[row, :len(cam_xys[k][1])] = cam_xys[k][1]
+        rays = np.asarray(_rays_jit(int(model_id))(
+            jnp.asarray(params.astype(np.float32)), jnp.asarray(xy_pad)))
+        for row, k in enumerate(idxs):
+            out[k] = rays[row, :len(cam_xys[k][1])]
+    return out
+
+
 class DatabaseCache:
     def __init__(self):
         self.cameras: Dict[int, Camera] = {}
@@ -39,8 +78,6 @@ class DatabaseCache:
     @classmethod
     def create(cls, database: Database, min_num_matches: int = 15,
                image_names: Optional[set] = None) -> "DatabaseCache":
-        import jax.numpy as jnp
-
         cache = cls()
         for cid, cam in database.read_cameras().items():
             cache.cameras[cid] = Camera(
@@ -51,6 +88,7 @@ class DatabaseCache:
                 params=cam["params"],
             )
 
+        pending = []  # (iid, im, xys) — rays computed in one batched pass
         for iid, im in database.read_images().items():
             if image_names is not None and im["name"] not in image_names:
                 continue
@@ -58,14 +96,11 @@ class DatabaseCache:
             if kp is None:
                 continue
             xys = kp[:, :2].astype(np.float32)
-            cam = cache.cameras[im["camera_id"]]
-            rays = np.asarray(
-                camera_models.cam_from_img(
-                    cam.model_id,
-                    jnp.asarray(cam.padded_params()),
-                    jnp.asarray(xys),
-                )
-            )
+            pending.append((iid, im, xys))
+
+        all_rays = _rays_batched(
+            [(cache.cameras[im["camera_id"]], xys) for _, im, xys in pending])
+        for (iid, im, xys), rays in zip(pending, all_rays):
             cache.images[iid] = CachedImage(
                 image_id=iid,
                 name=im["name"],
@@ -82,6 +117,6 @@ class DatabaseCache:
                 continue
             m = tvg["inlier_matches"]
             if len(m) >= min_num_matches:
-                cache.graph.add_correspondences(i1, i2, m.astype(np.int64))
+                cache.graph.add_correspondences(i1, i2, m)
         cache.graph.finalize()
         return cache

@@ -36,6 +36,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from colmap_tpu import native
 from colmap_tpu.estimators import absolute_pose as apose
 from colmap_tpu.estimators import bundle_adjustment as ba
 from colmap_tpu.estimators import two_view_geometry as tvg
@@ -295,34 +296,41 @@ class IncrementalMapper:
             offsets, imgs, feats = cache.graph.find_correspondences_all(iid)
             edge_feat = np.repeat(np.arange(len(offsets) - 1),
                                   np.diff(offsets))
-            self._graph.append((offsets, id_to_row[imgs], feats.astype(np.int64),
-                                edge_feat.astype(np.int64)))
+            self._graph.append((offsets, id_to_row[imgs], feats, edge_feat))
         self._neighbors: List[np.ndarray] = [
-            np.unique(self._graph[r][1]) for r in range(n_img)]
+            np.nonzero(np.bincount(self._graph[r][1], minlength=n_img))[0]
+            for r in range(n_img)]
         # global match table: every correspondence edge once, as flat
         # keypoint indices (g = kp_off[row] + feat). Complete/Merge are
         # single vectorized passes over this table instead of per-query
         # CSR expansions (which blow up quadratically on dense graphs).
-        mg1, mg2 = [], []
+        n_match = sum(len(m) for m in cache.graph._matches.values())
+        self._mg1 = np.empty(n_match, np.int64)
+        self._mg2 = np.empty(n_match, np.int64)
+        # row of each match endpoint (for registration checks) — filled
+        # from the pair loop (the endpoints of pair (i1, i2) are by
+        # construction in rows r1/r2; a 40M-element searchsorted over
+        # kp_off costs seconds on the single-core host)
+        self._mrow1 = np.empty(n_match, np.int64)
+        self._mrow2 = np.empty(n_match, np.int64)
+        pos = 0
         for (i1, i2), m in cache.graph._matches.items():
-            if len(m) == 0:
+            k = len(m)
+            if k == 0:
                 continue
             r1, r2 = self._row_of[i1], self._row_of[i2]
-            mg1.append((self._kp_off[r1] + m[:, 0]).astype(np.int64))
-            mg2.append((self._kp_off[r2] + m[:, 1]).astype(np.int64))
-        self._mg1 = np.concatenate(mg1) if mg1 else np.zeros(0, np.int64)
-        self._mg2 = np.concatenate(mg2) if mg2 else np.zeros(0, np.int64)
-        # row of each match endpoint (for registration checks)
-        self._mrow1 = np.searchsorted(self._kp_off, self._mg1,
-                                      side="right") - 1
-        self._mrow2 = np.searchsorted(self._kp_off, self._mg2,
-                                      side="right") - 1
+            self._mg1[pos:pos + k] = self._kp_off[r1] + m[:, 0]
+            self._mg2[pos:pos + k] = self._kp_off[r2] + m[:, 1]
+            self._mrow1[pos:pos + k] = r1
+            self._mrow2[pos:pos + k] = r2
+            pos += k
         # g -> table-row index (both directions): subset passes
         # (per-round complete/merge) touch only the rows of the queried
-        # features instead of scanning the whole table
-        self._mg1_order = np.argsort(self._mg1, kind="stable")
+        # features instead of scanning the whole table. Counting sort
+        # (native) — comparison argsort over 40M rows costs ~15 s here.
+        _, self._mg1_order = native.build_csr(self._mg1, total_kp)
         self._mg1_sorted = self._mg1[self._mg1_order]
-        self._mg2_order = np.argsort(self._mg2, kind="stable")
+        _, self._mg2_order = native.build_csr(self._mg2, total_kp)
         self._mg2_sorted = self._mg2[self._mg2_order]
         # per-feature count of triangulated correspondence partners
         # (reference: ObservationManager's incremental visibility
@@ -545,11 +553,9 @@ class IncrementalMapper:
             self._csr_cache = None  # points allocated since the last build
         if self._csr_cache is None:
             alive = np.nonzero(self._obs_pid[: self._num_obs] >= 0)[0]
-            order = np.argsort(self._obs_pid[alive], kind="stable")
-            rows_sorted = alive[order]
-            offsets = np.searchsorted(
-                self._obs_pid[rows_sorted], np.arange(self._num_pts + 1))
-            self._csr_cache = (offsets, rows_sorted)
+            offsets, order = native.build_csr(self._obs_pid[alive],
+                                              self._num_pts)
+            self._csr_cache = (offsets, alive[order])
         return self._csr_cache
 
     def _remove_obs(self, rows: np.ndarray):
