@@ -236,10 +236,10 @@ class IncrementalPipeline(BaseController):
         # complete + merge the locally-adjusted tracks, then filter only
         # those (reference: IterativeLocalRefinement runs
         # CompleteAndMergeTracks + FilterPoints3DInImages; the full pass
-        # runs in global refinement). Merge scans only the round's NEW
-        # points — full merges run in global refinement. The round's new
-        # points join the touched set explicitly: a point created between
-        # classification and _add_points_bulk in the same
+        # runs in global refinement). Merge consumes the incremental
+        # pending-pair pool (the round's new points' edges are in it).
+        # The round's new points join the touched set explicitly: a point
+        # created between classification and _add_points_bulk in the same
         # triangulate_images call may not appear in local_pids, and the
         # local filter must see it before it feeds PnP/local BA.
         new_pids = np.arange(pts_before, mapper._num_pts, dtype=np.int64)
@@ -247,8 +247,7 @@ class IncrementalPipeline(BaseController):
                               mapper.complete_and_merge_tracks,
                               np.concatenate([np.asarray(local_pids,
                                                          np.int64),
-                                              new_pids]),
-                              merge_pids=new_pids)
+                                              new_pids]))
         self._timed("filter", mapper.filter_points, pids=touched)
         return "ok"
 
@@ -299,13 +298,14 @@ class IncrementalPipeline(BaseController):
                 n_changed += self._timed(
                     "retriangulate", mapper.triangulate_images,
                     list(mapper.registered))
-                # merge only the tracks modified since the last consume
-                # (reference: CompleteAndMergeTracks over the triangulator's
-                # modified_point3D_ids_ snapshot, not every track); falls
-                # back to the full scan when most points are dirty
+                # merge consumes the incrementally maintained candidate
+                # pool (the edge-level analog of the reference's
+                # modified_point3D_ids_ snapshot — no match-table scan);
+                # the FIRST iteration of the final refinement runs one
+                # full-table sweep as a completeness safety net
                 self._timed("complete_merge_global",
                             mapper.complete_and_merge_tracks,
-                            merge_pids=mapper.consume_modified_pids())
+                            full_merge=(final and it == 0))
             self._timed(
                 "global_ba", mapper.adjust_global_bundle,
                 refine_intrinsics=(self.options.ba_refine_focal_length

@@ -354,6 +354,13 @@ class IncrementalMapper:
         # points and global refinement's CompleteAndMergeTracks consumes
         # the set instead of scanning every track)
         self._dirty_pids: List[np.ndarray] = []
+        # incremental merge-candidate pairs: every observation assignment
+        # records the match edges that now link two DIFFERENT points
+        # (reference: MergeTracks is tried on the triangulator's modified
+        # points, incremental_triangulator.cc TryMergeTracks — here the
+        # pair set is maintained edge-incrementally so merge never has to
+        # rescan the full match table, which cost ~3 s/call at 40M edges)
+        self._pending_merge: List[np.ndarray] = []
 
         self.registered: List[int] = []
         self.num_reg_trials: Dict[int, int] = {}
@@ -496,7 +503,7 @@ class IncrementalMapper:
         self._num_obs += n
         self._flat_pids[g] = pids
         np.add.at(self._track_len, pids, 1)
-        self._bump_feat_vis(g, +1)
+        self._bump_feat_vis(g, +1, collect_merge=True)
         self._dirty_pids.append(pids.copy())
         self._csr_cache = None
         self._seen_keys = None
@@ -517,14 +524,31 @@ class IncrementalMapper:
             out.append(order[idx])
         return out[0], out[1]
 
-    def _bump_feat_vis(self, gs: np.ndarray, delta: int):
+    def _bump_feat_vis(self, gs: np.ndarray, delta: int,
+                       collect_merge: bool = False):
         """Incremental partner-visibility counters for the features
-        corresponding to gained/lost observations."""
+        corresponding to gained/lost observations. With `collect_merge`
+        (observation gains only) the same table-row expansion also records
+        match edges now linking two different points into the pending
+        merge-candidate pool."""
         r1, r2 = self._table_rows_for_g(gs)
         if len(r1):
             np.add.at(self._feat_vis, self._mg2[r1], delta)
         if len(r2):
             np.add.at(self._feat_vis, self._mg1[r2], delta)
+        if not collect_merge:
+            return
+        for rr, ours, theirs in ((r1, self._mg1, self._mg2),
+                                 (r2, self._mg2, self._mg1)):
+            if not len(rr):
+                continue
+            pa = self._flat_pids[ours[rr]]
+            pb = self._flat_pids[theirs[rr]]
+            m = (pa >= 0) & (pb >= 0) & (pa != pb)
+            if m.any():
+                self._pending_merge.append(
+                    np.stack([np.minimum(pa[m], pb[m]),
+                              np.maximum(pa[m], pb[m])], axis=1))
 
     def _point_sees_image(self, pids: np.ndarray, img_rows: np.ndarray
                           ) -> np.ndarray:
@@ -996,23 +1020,42 @@ class IncrementalMapper:
         return (self._mg1[idx], self._mg2[idx],
                 self._mrow1[idx], self._mrow2[idx])
 
-    def merge_tracks(self, pids=None) -> int:
+    def merge_tracks(self, pids=None, use_pending: bool = False) -> int:
         """Merge pairs of points linked by a correspondence edge when the
         track-length-weighted merged point reprojects within threshold in
         EVERY observation of both tracks (reference: IncrementalTriangulator
         ::MergeTracks, incremental_triangulator.h:105, .cc TryMergeTracks).
-        Candidate discovery is one vectorized pass over the (subset) match
-        table. Returns the number of points removed by merging."""
-        mg1, mg2, _, _ = self._table_view(pids)
-        if len(mg1) == 0:
-            return 0
-        p1_all = self._flat_pids[mg1]
-        p2_all = self._flat_pids[mg2]
-        mask = (p1_all >= 0) & (p2_all >= 0) & (p1_all != p2_all)
-        if not mask.any():
-            return 0
-        p1 = np.minimum(p1_all[mask], p2_all[mask])
-        p2 = np.maximum(p1_all[mask], p2_all[mask])
+
+        Candidate discovery: `use_pending` consumes the incrementally
+        maintained pair pool (the edge-level analog of the reference's
+        modified-points restriction — no table scan at all); otherwise one
+        vectorized pass over the (subset) match table. Returns the number
+        of points removed by merging."""
+        if use_pending:
+            if not self._pending_merge:
+                return 0
+            pairs = np.concatenate(self._pending_merge, axis=0)
+            self._pending_merge = []
+            # re-validate: endpoints may have merged/died since recording
+            alive = ((self._track_len[pairs[:, 0]] > 0)
+                     & (self._track_len[pairs[:, 1]] > 0)
+                     & (pairs[:, 0] != pairs[:, 1]))
+            pairs = pairs[alive]
+            if len(pairs) == 0:
+                return 0
+            p1_all, p2_all = pairs[:, 0], pairs[:, 1]
+        else:
+            mg1, mg2, _, _ = self._table_view(pids)
+            if len(mg1) == 0:
+                return 0
+            p1_all = self._flat_pids[mg1]
+            p2_all = self._flat_pids[mg2]
+            mask = (p1_all >= 0) & (p2_all >= 0) & (p1_all != p2_all)
+            if not mask.any():
+                return 0
+            p1_all, p2_all = p1_all[mask], p2_all[mask]
+        p1 = np.minimum(p1_all, p2_all)
+        p2 = np.maximum(p1_all, p2_all)
         key = p1 * (self._num_pts + 1) + p2
         _, first = np.unique(key, return_index=True)
         p1, p2 = p1[first], p2[first]
@@ -1097,16 +1140,21 @@ class IncrementalMapper:
             return None
         return u
 
-    def complete_and_merge_tracks(self, pids=None, merge_pids=None
-                                  ) -> np.ndarray:
+    def complete_and_merge_tracks(self, pids=None, merge_pids=None,
+                                  full_merge: bool = False) -> np.ndarray:
         """Complete then merge (reference: CompleteAndMergeTracks inside
-        local/global refinement). `merge_pids` restricts the merge scan
-        (the per-round path passes just the round's new points — a full
-        merge scan costs a whole match-table pass). Returns the live pids
-        touched."""
+        local/global refinement). Merging consumes the incremental pending
+        pair pool by default (`merge_pids` is accepted for API parity —
+        its pairs are already in the pool); `full_merge` forces one full
+        match-table sweep (used once in the final refinement as a safety
+        net). Returns the live pids touched."""
         before = self._num_pts
         self.complete_tracks(pids)
-        self.merge_tracks(merge_pids if merge_pids is not None else pids)
+        if full_merge:
+            self._pending_merge = []
+            self.merge_tracks(None)
+        else:
+            self.merge_tracks(use_pending=True)
         if pids is None:
             return self._live_pids(None)
         touched = np.concatenate([
@@ -1270,26 +1318,54 @@ class IncrementalMapper:
 
     def _build_ba_problem(self, image_ids: Sequence[int],
                           fix_extra_images: bool = True,
-                          refine_intrinsics: bool = False):
-        """Assemble a BAProblem for the given variable images (+ fixed
-        observers of their points). Pure array gathers, no Python loops
-        over tracks."""
-        var_rows = np.array([self._row_of[i] for i in image_ids], np.int64)
-        pid_chunks = [
-            self._flat_pids[self._kp_off[r]: self._kp_off[r + 1]]
-            for r in var_rows]
-        pids = np.unique(np.concatenate(pid_chunks)) if pid_chunks else \
-            np.zeros(0, np.int64)
-        pids = pids[pids >= 0]
-        if len(pids) == 0:
-            return None, None, None, None
+                          refine_intrinsics: bool = False,
+                          variable_pids: Optional[np.ndarray] = None,
+                          local_obs_only: bool = False):
+        """Assemble a BAProblem for the given variable images. Pure array
+        gathers, no Python loops over tracks.
 
-        offsets, rows_sorted = self._point_csr()
-        cnt = offsets[pids + 1] - offsets[pids]
-        obs = np.repeat(offsets[pids], cnt) + (
-            np.arange(int(cnt.sum())) - np.repeat(
-                np.cumsum(cnt) - cnt, cnt))
-        obs = rows_sorted[obs]
+        `local_obs_only` reproduces the reference's LOCAL-BA problem
+        selection (incremental_mapper.cc:584-648 + bundle_adjustment.cc
+        AddImageToProblem/AddPointToProblem/ParameterizePoints): residuals
+        come from the local images' observations only; `variable_pids`
+        (the modified points) with track length <= 15 contribute their
+        FULL tracks with constant poses; any point whose included
+        observation count is below its track length and that is not in
+        `variable_pids` is held constant. Without it, every observation
+        of every point seen by the images is included (global-BA style)."""
+        var_rows = np.array([self._row_of[i] for i in image_ids], np.int64)
+        vp = np.zeros(0, np.int64)
+        if local_obs_only:
+            alive = self._obs_pid[: self._num_obs] >= 0
+            in_local = np.zeros(len(self._img_ids), bool)
+            in_local[var_rows] = True
+            obs = np.nonzero(
+                alive & in_local[self._obs_img_row[: self._num_obs]])[0]
+            if variable_pids is not None and len(variable_pids):
+                vp = self._live_pids(variable_pids)
+                vp = vp[self._track_len[vp] <= 15]  # ref kMaxTrackLength
+            if len(vp):
+                obs = np.unique(np.concatenate(
+                    [obs, self._obs_of_points(vp)]))
+            if len(obs) == 0:
+                return None, None, None, None
+            pids = np.unique(self._obs_pid[obs])
+        else:
+            pid_chunks = [
+                self._flat_pids[self._kp_off[r]: self._kp_off[r + 1]]
+                for r in var_rows]
+            pids = np.unique(np.concatenate(pid_chunks)) if pid_chunks else \
+                np.zeros(0, np.int64)
+            pids = pids[pids >= 0]
+            if len(pids) == 0:
+                return None, None, None, None
+
+            offsets, rows_sorted = self._point_csr()
+            cnt = offsets[pids + 1] - offsets[pids]
+            obs = np.repeat(offsets[pids], cnt) + (
+                np.arange(int(cnt.sum())) - np.repeat(
+                    np.cumsum(cnt) - cnt, cnt))
+            obs = rows_sorted[obs]
         obs_row = self._obs_img_row[obs]
         obs_feat = self._obs_feat[obs]
         obs_pid_raw = self._obs_pid[obs]
@@ -1339,12 +1415,30 @@ class IncrementalMapper:
         )
         # freeze non-variable images + all padding rows
         pose_mask = np.zeros((P_b, 6), np.float32)
+        n_var = int(is_var.sum())
         if fix_extra_images:
-            pose_mask[: int(is_var.sum())] = 1.0
+            pose_mask[:n_var] = 1.0
         else:
             pose_mask[: len(all_rows)] = 1.0
         point_mask = np.zeros((M_b, 3), np.float32)
-        point_mask[: len(pids)] = 1.0
+        if local_obs_only:
+            # ParameterizePoints parity: a partially-observed point is
+            # constant unless explicitly variable (modified short-track)
+            inc = np.bincount(pid_to_idx_map, minlength=len(pids))
+            full = inc >= self._track_len[pids]
+            if len(vp):
+                full |= np.isin(pids, vp, assume_unique=True)
+            point_mask[: len(pids)][full] = 1.0
+            if n_var == len(all_rows) and n_var >= 2:
+                # no constant observers pin the gauge — fix the last local
+                # pose + the second-to-last pose's tx (reference
+                # incremental_mapper.cc:620-632)
+                last = row_to_idx[self._row_of[image_ids[-1]]]
+                second = row_to_idx[self._row_of[image_ids[-2]]]
+                pose_mask[last] = 0.0
+                pose_mask[second, 3] = 0.0
+        else:
+            point_mask[: len(pids)] = 1.0
         problem = problem._replace(pose_mask=pose_mask,
                                    point_mask=point_mask)
         all_imgs = [int(self._img_ids[r]) for r in all_rows]
@@ -1383,8 +1477,14 @@ class IncrementalMapper:
         if isinstance(image_ids, (int, np.integer)):
             image_ids = [int(image_ids)]
         local = self._find_local_bundle(image_ids)
+        # modified points since the last consume = the reference's
+        # GetModifiedPoints3D() argument to AdjustLocalBundle (.cc:765)
+        dirty = (self._live_pids(np.concatenate(self._dirty_pids))
+                 if self._dirty_pids else np.zeros(0, np.int64))
+        self._dirty_pids = []
         problem, all_imgs, pids, cams = self._build_ba_problem(
-            list(image_ids) + local)
+            list(image_ids) + local, variable_pids=dirty,
+            local_obs_only=True)
         if problem is None:
             return []
         if ba_options is None:

@@ -65,7 +65,10 @@ def run(args):
         opts = synth.RoomDatasetOptions(
             num_images=args.synthetic, width=args.synthetic_width,
             height=args.synthetic_height,
-            focal=0.875 * args.synthetic_width, seed=11)
+            focal=0.875 * args.synthetic_width, seed=11,
+            # keep texture detail near pixel scale at DSLR resolutions so
+            # feature localization is texture-limited, not render-limited
+            texture_res=max(512, args.synthetic_width))
         images, K, Rs, ts = synth.render_room_dataset(opts)
         synth.write_dataset(image_path, images)
         gt = Reconstruction()
@@ -132,6 +135,9 @@ def run(args):
           and rec.num_registered_images() >= args.min_registered_ratio * n_gt)
     report["ok"] = bool(ok)
     print(json.dumps(report))
+    if args.report_path:
+        with open(args.report_path, "w") as fp:
+            json.dump(report, fp, indent=2)
     return 0 if ok else 1
 
 
@@ -151,6 +157,9 @@ def main():
     p.add_argument("--max_rot_deg", type=float, default=1.0)
     p.add_argument("--max_center_err", type=float, default=0.05)
     p.add_argument("--min_registered_ratio", type=float, default=1.0)
+    p.add_argument("--report_path", default=None,
+                   help="also write the report JSON here (bench.py embeds "
+                        "DSLR_GATE.json from the repo root)")
     args = p.parse_args()
     if not args.synthetic and not args.dataset_path:
         p.error("pass --dataset_path or --synthetic N")
