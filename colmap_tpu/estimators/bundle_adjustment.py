@@ -670,10 +670,80 @@ def build_gather_layouts(obs_point_idx, obs_pose_idx, obs_cam_idx,
     return pt_g, pose_g, pose_cam, pt_g_ps, ps_point
 
 
+def layout_widths(obs_point_idx, obs_pose_idx, obs_weight, M: int, P: int,
+                  max_pad_ratio: float = 8.0, max_slots: int = 4_000_000):
+    """Host-side (cheap: two bincounts) computation of the gather-layout
+    widths (T, S) for device-side layout construction, or None when the
+    padded layouts would blow past the memory caps (same policy as
+    build_gather_layouts)."""
+    import numpy as np
+
+    live = np.asarray(obs_weight) > 0
+    n = len(live)
+
+    def width(idx, rows):
+        counts = np.bincount(np.asarray(idx)[live], minlength=rows)
+        t = max(int(counts.max()) if len(counts) else 1, 1)
+        t = 1 << (t - 1).bit_length()
+        if t * rows > min(max_pad_ratio * max(n, 1), max_slots):
+            return None
+        return t
+
+    T = width(obs_point_idx, M)
+    S = width(obs_pose_idx, P)
+    if T is None or S is None:
+        return None
+    return T, S
+
+
+def _layout_device(idx, live, num_rows: int, width: int):
+    """Traced equivalent of build_gather_layouts' layout(): a (num_rows,
+    width) table of observation indices per row, -1-padded. Dead
+    observations sort to a virtual trash row and are dropped by the
+    out-of-bounds scatter."""
+    n = idx.shape[0]
+    key = jnp.where(live, idx.astype(jnp.int32), num_rows)
+    order = jnp.argsort(key, stable=True).astype(jnp.int32)
+    sorted_rows = key[order]
+    offsets = jnp.searchsorted(sorted_rows,
+                               jnp.arange(num_rows, dtype=jnp.int32))
+    col = jnp.arange(n, dtype=jnp.int32) - offsets[sorted_rows].astype(
+        jnp.int32)
+    out = jnp.full((num_rows, width), -1, jnp.int32)
+    return out.at[sorted_rows, col].set(order, mode="drop")
+
+
+def build_gather_layouts_traced(obs_point_idx, obs_pose_idx, obs_cam_idx,
+                                obs_weight, M: int, P: int, T: int, S: int):
+    """Device-side construction of the scatter-free reduction layouts —
+    the traced twin of build_gather_layouts. Shipping only the raw index
+    arrays and rebuilding the four big tables on device cuts the packed
+    i32 upload by ~3.5x (the tunnel charges ~MB/s for uploads) and drops
+    the per-BA host argsorts."""
+    live = obs_weight > 0
+    n = obs_point_idx.shape[0]
+    pt_g = _layout_device(obs_point_idx, live, M, T)
+    pose_g = _layout_device(obs_pose_idx, live, P, S)
+    pose_cam = jnp.zeros(P, jnp.int32).at[
+        jnp.where(live, obs_pose_idx, P)].set(obs_cam_idx.astype(jnp.int32),
+                                              mode="drop")
+    flat = pose_g.reshape(-1)
+    pos_in_ps = jnp.full(n, -1, jnp.int32).at[
+        jnp.where(flat >= 0, flat, n)].set(
+            jnp.arange(P * S, dtype=jnp.int32), mode="drop")
+    pt_g_ps = jnp.where(pt_g >= 0, pos_in_ps[jnp.maximum(pt_g, 0)], -1)
+    ps_point = jnp.where(pose_g >= 0,
+                         obs_point_idx.astype(jnp.int32)[
+                             jnp.maximum(pose_g, 0)], 0)
+    return pt_g, pose_g, pose_cam, pt_g_ps, ps_point
+
+
 class PackedMeta(NamedTuple):
     """Static shape descriptor of a flattened BAProblem (hashable: one jit
     specialization per shape class). T/S = gather-layout widths; T == 0
-    means no scatter-free layouts (segment-sum fallback)."""
+    means no scatter-free layouts (segment-sum fallback). `dev` = the
+    layout tables are NOT in ibuf and are rebuilt on device by
+    unflatten_problem."""
 
     N: int
     P: int
@@ -681,15 +751,21 @@ class PackedMeta(NamedTuple):
     M: int
     T: int
     S: int
+    dev: bool = False
 
 
-def flatten_problem(problem: BAProblem):
+def flatten_problem(problem: BAProblem, device_layouts: bool = False):
     """Pack a (host-side) BAProblem into ONE float32 + ONE int32 buffer.
 
     Through the tunnel every jit argument is its own host->device
     transfer (~65 ms each, size-independent); packing 16 problem arrays
     into 2 buffers makes a BA call 3 transfers (f32 + i32 + packed
     result) instead of ~17. Accepts numpy or device arrays.
+
+    `device_layouts` omits the four big gather tables from ibuf; only
+    their widths (computed host-side from two bincounts) ride in the meta
+    and unflatten_problem rebuilds the tables on device — the ibuf upload
+    shrinks from 3N + P + 2MT + 2PS to 3N entries.
     """
     import numpy as np
 
@@ -703,9 +779,6 @@ def flatten_problem(problem: BAProblem):
     P = int(problem.poses.shape[0])
     C = int(problem.cam_params.shape[0])
     M = int(problem.points.shape[0])
-    has_layouts = problem.pt_gather is not None
-    T = int(problem.pt_gather.shape[1]) if has_layouts else 0
-    S = int(problem.pose_gather.shape[1]) if has_layouts else 0
 
     fparts = [f(problem.poses), f(problem.cam_params), f(problem.points),
               f(problem.obs_xy), f(problem.obs_weight),
@@ -713,6 +786,21 @@ def flatten_problem(problem: BAProblem):
               f(problem.point_mask)]
     iparts = [i(problem.obs_pose_idx), i(problem.obs_cam_idx),
               i(problem.obs_point_idx)]
+    if device_layouts:
+        ts = layout_widths(problem.obs_point_idx, problem.obs_pose_idx,
+                           problem.obs_weight, M, P)
+        if ts is None:
+            T = S = 0  # segment-sum fallback
+            dev = False
+        else:
+            T, S = ts
+            dev = True
+        return (np.concatenate(fparts), np.concatenate(iparts),
+                PackedMeta(N=N, P=P, C=C, M=M, T=T, S=S, dev=dev))
+
+    has_layouts = problem.pt_gather is not None
+    T = int(problem.pt_gather.shape[1]) if has_layouts else 0
+    S = int(problem.pose_gather.shape[1]) if has_layouts else 0
     if has_layouts:
         iparts += [i(problem.pose_cam_idx), i(problem.pt_gather),
                    i(problem.pose_gather), i(problem.pt_gather_ps),
@@ -724,7 +812,7 @@ def flatten_problem(problem: BAProblem):
 def unflatten_problem(fbuf, ibuf, meta: PackedMeta) -> BAProblem:
     """Rebuild the BAProblem from the packed buffers (traceable: all
     offsets are static)."""
-    N, P, C, M, T, S = meta
+    N, P, C, M, T, S = meta[:6]
 
     def cut(buf, off, shape):
         size = 1
@@ -747,7 +835,13 @@ def unflatten_problem(fbuf, ibuf, meta: PackedMeta) -> BAProblem:
     obs_cam_idx, ioff = cut(ibuf, ioff, (N,))
     obs_point_idx, ioff = cut(ibuf, ioff, (N,))
     pt_gather = pose_gather = pose_cam_idx = pt_gather_ps = ps_point_idx = None
-    if T > 0:
+    if getattr(meta, "dev", False):
+        (pt_gather, pose_gather, pose_cam_idx, pt_gather_ps,
+         ps_point_idx) = build_gather_layouts_traced(
+            obs_point_idx, obs_cam_idx=obs_cam_idx,
+            obs_pose_idx=obs_pose_idx, obs_weight=obs_weight,
+            M=M, P=P, T=T, S=S)
+    elif T > 0:
         pose_cam_idx, ioff = cut(ibuf, ioff, (P,))
         pt_gather, ioff = cut(ibuf, ioff, (M, T))
         pose_gather, ioff = cut(ibuf, ioff, (P, S))
@@ -781,6 +875,7 @@ def make_problem(
     camera_model_ids=None,
     dtype=jnp.float32,
     as_numpy: bool = False,
+    skip_layouts: bool = False,
 ) -> BAProblem:
     """Build a BAProblem from numpy/JAX arrays with COLMAP-like gauge defaults.
 
@@ -830,9 +925,14 @@ def make_problem(
         if refine_extra_params:
             cam_mask[:, 4:] = 1.0
 
-    pt_g, pose_g, pose_cam, pt_g_ps, ps_point = build_gather_layouts(
-        obs_point_idx, obs_pose_idx, obs_cam_idx, np.asarray(obs_weight),
-        M, P, C)
+    if skip_layouts:
+        # caller flattens with device_layouts=True: the tables are rebuilt
+        # on device from the index arrays (build_gather_layouts_traced)
+        pt_g = pose_g = pose_cam = pt_g_ps = ps_point = None
+    else:
+        pt_g, pose_g, pose_cam, pt_g_ps, ps_point = build_gather_layouts(
+            obs_point_idx, obs_pose_idx, obs_cam_idx, np.asarray(obs_weight),
+            M, P, C)
 
     return BAProblem(
         poses=poses,

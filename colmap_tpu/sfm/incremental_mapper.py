@@ -1412,6 +1412,7 @@ class IncrementalMapper:
             refine_extra_params=refine_intrinsics,
             camera_model_ids=[self.rec.cameras[cid].model_id for cid in cams],
             as_numpy=True,
+            skip_layouts=True,  # rebuilt on device (flatten device_layouts)
         )
         # freeze non-variable images + all padding rows
         pose_mask = np.zeros((P_b, 6), np.float32)
@@ -1506,7 +1507,8 @@ class IncrementalMapper:
                           ba_options.cg_iterations], np.int32)
         static_opts = dataclasses.replace(ba_options, max_iterations=50,
                                           cg_iterations=30)
-        fbuf, ibuf, meta = ba.flatten_problem(problem)
+        fbuf, ibuf, meta = ba.flatten_problem(problem,
+                                              device_layouts=True)
         flat = _solve_packed_buffers(fbuf, ibuf, iters, meta, static_opts)
         self._apply_ba_result(flat, all_imgs, pids, cams,
                               shapes=(meta.P, meta.C))
@@ -1546,7 +1548,8 @@ class IncrementalMapper:
                           ba_options.cg_iterations], np.int32)
         static_opts = dataclasses.replace(ba_options, max_iterations=50,
                                           cg_iterations=30)
-        fbuf, ibuf, meta = ba.flatten_problem(problem)
+        fbuf, ibuf, meta = ba.flatten_problem(problem,
+                                              device_layouts=True)
         flat = _solve_packed_buffers(fbuf, ibuf, iters, meta, static_opts)
         self._apply_ba_result(flat, all_imgs, pids, cams,
                               update_intrinsics=refine_intrinsics,

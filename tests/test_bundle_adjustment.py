@@ -220,3 +220,44 @@ def test_ba_early_exit_function_tolerance(rng):
     assert int(state_full.iteration) == 40
     np.testing.assert_allclose(float(state.cost), float(state_full.cost),
                                rtol=1e-3, atol=1e-6)
+
+
+def test_device_layouts_match_host(rng):
+    """build_gather_layouts_traced must reproduce the host tables exactly
+    (the mapper ships only the index arrays through the tunnel and
+    rebuilds the layouts on device, flatten_problem(device_layouts=True))."""
+    N, M, P, C = 5000, 300, 40, 2
+    r = np.random.default_rng(0)
+    pt = r.integers(0, M, N)
+    po = r.integers(0, P, N)
+    cam = (po % C).astype(np.int32)
+    w = (r.random(N) > 0.1).astype(np.float32)
+    host = ba.build_gather_layouts(pt, po, cam, w, M, P, C)
+    T, S = host[0].shape[1], host[1].shape[1]
+    assert (T, S) == ba.layout_widths(pt, po, w, M, P)
+    dev = jax.jit(lambda a, b, c, d: ba.build_gather_layouts_traced(
+        a, b, c, d, M, P, T, S))(pt.astype(np.int32), po.astype(np.int32),
+                                 cam, w)
+    for h, d in zip(host, dev):
+        np.testing.assert_array_equal(h, np.asarray(d))
+
+
+def test_solve_packed_device_layouts(rng):
+    """End-to-end: a perturbed BA solved through the device-layout packed
+    path converges identically to the host-layout path."""
+    poses, cams, points, obs, model_id = build_synthetic_ba(rng)
+    problem = ba.make_problem(poses, cams, points, *obs,
+                              fix_first_pose_and_gauge=True)
+    problem_nl = ba.make_problem(poses, cams, points, *obs,
+                                 fix_first_pose_and_gauge=True,
+                                 as_numpy=True, skip_layouts=True)
+    options = ba.BAOptions(max_iterations=10, cg_iterations=15,
+                           camera_model_id=model_id, function_tolerance=0.0)
+    ref = ba.solve(problem, options)
+
+    fbuf, ibuf, meta = ba.flatten_problem(problem_nl, device_layouts=True)
+    assert meta.dev and meta.T > 0 and meta.S > 0
+    rebuilt = ba.unflatten_problem(jnp.asarray(fbuf), jnp.asarray(ibuf), meta)
+    state = ba.solve(rebuilt, options)
+    np.testing.assert_allclose(float(state.cost), float(ref.cost),
+                               rtol=1e-5, atol=1e-9)
