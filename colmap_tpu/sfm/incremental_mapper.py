@@ -635,12 +635,17 @@ class IncrementalMapper:
     # ------------------------------------------------------------------
     # initial pair
     # ------------------------------------------------------------------
-    def find_initial_image_pair(self, max_candidates: int = 50, exclude=()):
+    def find_initial_image_pair(self, max_candidates: int = 500, exclude=()):
         """Rank pairs by correspondence count; verify with the fused two-view
         program; gate on inliers + triangulation angle + forward motion.
 
         Reference: FindInitialImagePair + EstimateInitialTwoViewGeometry
-        (sfm/incremental_mapper.cc).
+        (sfm/incremental_mapper.cc). The candidate budget must reach well
+        past the top correspondence ranks: on small-baseline sequences the
+        best-matched pairs all fail the 16-degree triangulation-angle gate
+        and the usable wide-baseline pairs rank in the hundreds (the
+        reference iterates image1/image2 rankings exhaustively under
+        init_max_trials, not a fixed pair cap).
         """
         pairs = sorted(
             self.cache.graph.image_pairs(),
