@@ -355,46 +355,23 @@ def lm_step(state: LMState, options: BAOptions, axis_name: Optional[str] = None,
     Jc = Jc * sw[..., None] * problem.cam_mask[problem.obs_cam_idx][:, None, :]
     Jx = Jx * sw[..., None] * problem.point_mask[problem.obs_point_idx][:, None, :]
 
-    # ---- point (landmark) blocks -----------------------------------------
-    Hxx = point_reduce(jnp.einsum("nki,nkj->nij", Jx, Jx))  # (M, 3, 3)
-    gx = point_reduce(jnp.einsum("nki,nk->ni", Jx, r))  # (M, 3) = Jx^T r
-
     lam = state.lam
-    eye3 = jnp.eye(3, dtype=Hxx.dtype)
-    dHxx = jnp.maximum(jnp.diagonal(Hxx, axis1=-2, axis2=-1), 1e-6)  # (M, 3)
-    Hxx_d = Hxx + lam * dHxx[..., None] * eye3 + 1e-8 * eye3
-    Hxx_inv = _inv3x3_sym(Hxx_d)  # closed-form batched 3x3
-
-    # ---- camera-side diagonal blocks (preconditioner + damping) -----------
-    Hpp = pose_reduce(jnp.einsum("nki,nkj->nij", Jp, Jp))  # (P, 6, 6)
-    Hcc = cam_reduce(jnp.einsum("nki,nkj->nij", Jc, Jc))  # (C, 12, 12)
-    gp = pose_reduce(jnp.einsum("nki,nk->ni", Jp, r))
-    gc = cam_reduce(jnp.einsum("nki,nk->ni", Jc, r))
-
-    eye6 = jnp.eye(6, dtype=Hpp.dtype)
-    eye12 = jnp.eye(12, dtype=Hcc.dtype)
-    dHpp = jnp.maximum(jnp.diagonal(Hpp, axis1=-2, axis2=-1), 1e-6)
-    dHcc = jnp.maximum(jnp.diagonal(Hcc, axis1=-2, axis2=-1), 1e-6)
-    # true SCHUR_JACOBI preconditioner (reference: ceres schur_jacobi):
-    # S[p,p] = Hpp[p] - sum_n W_n Hxx^-1 W_n^T over obs n of pose p
-    # (one observation per (pose, point) pair, so the self term is per-obs)
-    W = jnp.einsum("nki,nkj->nij", Jp, Jx)  # (N, 6, 3)
-    WV = jnp.einsum("nij,njk->nik", W, Hxx_inv[problem.obs_point_idx])
-    S_self = pose_reduce(jnp.einsum("nik,njk->nij", WV, W))  # (P, 6, 6)
-    Hpp_prec = Hpp - S_self + lam * dHpp[..., None] * eye6 + 1e-8 * eye6
-    Hcc_prec = Hcc + lam * dHcc[..., None] * eye12 + 1e-8 * eye12
-    Hpp_prec_inv = jnp.linalg.inv(Hpp_prec)
-    Hcc_prec_inv = jnp.linalg.inv(Hcc_prec)
+    eye3 = jnp.eye(3, dtype=Jx.dtype)
+    eye6 = jnp.eye(6, dtype=Jp.dtype)
+    eye12 = jnp.eye(12, dtype=Jc.dtype)
 
     # ---- matrix-free Schur operator ---------------------------------------
     if use_ps:
-        # pose-major dense layout: every reduction over a pose is a plain
-        # axis-sum over S, u_pose broadcasts without a gather — the CG loop
-        # runs as a handful of dense (P, S, ...) contractions (fast on
-        # TPU, where gathers are cheap and scatters/sorts are not, and the
-        # op count stays minimal)
+        # pose-major / point-major dense layouts: gather the thin (2, k)
+        # Jacobian rows ONCE, then every block reduction (Hxx, Hpp, Hcc,
+        # gradients, the SCHUR_JACOBI self term) is a plain einsum over the
+        # slot axis — no (N, 6, 6)/(N, 6, 3) materialization and no
+        # gather-reduce of 36-wide rows (those two cost ~60% of an LM
+        # iteration at 400k observations; see scripts/ba_profile.py)
         Sg = problem.pose_gather  # (P, S)
         ps_mask = (Sg >= 0)
+        Tg = problem.pt_gather  # (M, T)
+        pt_mask = (Tg >= 0)
 
         def to_ps(v):
             g = jnp.take(v, jnp.maximum(Sg, 0).reshape(-1), axis=0)
@@ -402,19 +379,56 @@ def lm_step(state: LMState, options: BAOptions, axis_name: Optional[str] = None,
             m = ps_mask.reshape(ps_mask.shape + (1,) * (v.ndim - 1))
             return g * m.astype(g.dtype)
 
+        def to_pt(v):
+            g = jnp.take(v, jnp.maximum(Tg, 0).reshape(-1), axis=0)
+            g = g.reshape(Tg.shape + v.shape[1:])
+            m = pt_mask.reshape(pt_mask.shape + (1,) * (v.ndim - 1))
+            return g * m.astype(g.dtype)
+
         Jp_l = to_ps(Jp)  # (P, S, 2, 6)
         Jx_l = to_ps(Jx)
-        ptidx_l = problem.ps_point_idx  # (P, S)
-        gidx = problem.pt_gather_ps  # (M, T) into P*S
-        gmask = (gidx >= 0)
+        r_l = to_ps(r)  # (P, S, 2)
+        Jx_pm = to_pt(Jx)  # (M, T, 2, 3)
+        r_pm = to_pt(r)
+
+        Hxx = jnp.einsum("mtki,mtkj->mij", Jx_pm, Jx_pm)  # (M, 3, 3)
+        gx = jnp.einsum("mtki,mtk->mi", Jx_pm, r_pm)  # (M, 3)
+        Hpp = jnp.einsum("pski,pskj->pij", Jp_l, Jp_l)  # (P, 6, 6)
+        gp = jnp.einsum("pski,psk->pi", Jp_l, r_l)
         if use_cam:
             Jc_l = to_ps(Jc)
-            # every pose has one camera: broadcast u_cam per pose and
-            # reduce camera contributions pose-first through the tiny
-            # (P, C) one-hot (the old (P, S, C) layout was O(obs * C))
+            # every pose has one camera: reduce camera contributions
+            # pose-first through the tiny (P, C) one-hot
             pose_cam = problem.pose_cam_idx  # (P,)
             pose_cam_oh = (pose_cam[:, None]
                            == jnp.arange(C)[None, :]).astype(Jc_l.dtype)
+            Hcc = jnp.einsum("pc,pij->cij", pose_cam_oh,
+                             jnp.einsum("pski,pskj->pij", Jc_l, Jc_l))
+            gc = jnp.einsum("pc,pi->ci", pose_cam_oh,
+                            jnp.einsum("pski,psk->pi", Jc_l, r_l))
+        else:
+            Hcc = jnp.zeros((C, 12, 12), Jc.dtype)
+            gc = jnp.zeros((C, 12), Jc.dtype)
+
+        dHxx = jnp.maximum(jnp.diagonal(Hxx, axis1=-2, axis2=-1), 1e-6)
+        Hxx_inv = _inv3x3_sym(Hxx + lam * dHxx[..., None] * eye3
+                              + 1e-8 * eye3)
+
+        ptidx_l = problem.ps_point_idx  # (P, S)
+        gidx = problem.pt_gather_ps  # (M, T) into P*S
+        gmask = (gidx >= 0)
+
+        dHpp = jnp.maximum(jnp.diagonal(Hpp, axis1=-2, axis2=-1), 1e-6)
+        dHcc = jnp.maximum(jnp.diagonal(Hcc, axis1=-2, axis2=-1), 1e-6)
+        # true SCHUR_JACOBI preconditioner (reference: ceres schur_jacobi):
+        # S[p,p] = Hpp[p] - sum_s W_s Hxx^-1 W_s^T, all in pose-major
+        W_l = jnp.einsum("pski,pskj->psij", Jp_l, Jx_l)  # (P, S, 6, 3)
+        WV = jnp.einsum("psij,psjk->psik", W_l, Hxx_inv[ptidx_l])
+        S_self = jnp.einsum("psik,psjk->pij", WV, W_l)  # (P, 6, 6)
+        Hpp_prec = Hpp - S_self + lam * dHpp[..., None] * eye6 + 1e-8 * eye6
+        Hcc_prec = Hcc + lam * dHcc[..., None] * eye12 + 1e-8 * eye12
+        Hpp_prec_inv = jnp.linalg.inv(Hpp_prec)
+        Hcc_prec_inv = jnp.linalg.inv(Hcc_prec)
 
         def S_matvec(u_pose, u_cam):
             a = jnp.einsum("pski,pi->psk", Jp_l, u_pose)
@@ -436,6 +450,29 @@ def lm_step(state: LMState, options: BAOptions, axis_name: Optional[str] = None,
                 out_cam = u_cam
             return out_pose, out_cam
     else:
+        # segment-sum path (distributed shards / layout-less problems):
+        # N-major block reductions
+        Hxx = point_reduce(jnp.einsum("nki,nkj->nij", Jx, Jx))  # (M, 3, 3)
+        gx = point_reduce(jnp.einsum("nki,nk->ni", Jx, r))
+        Hpp = pose_reduce(jnp.einsum("nki,nkj->nij", Jp, Jp))  # (P, 6, 6)
+        Hcc = cam_reduce(jnp.einsum("nki,nkj->nij", Jc, Jc))
+        gp = pose_reduce(jnp.einsum("nki,nk->ni", Jp, r))
+        gc = cam_reduce(jnp.einsum("nki,nk->ni", Jc, r))
+
+        dHxx = jnp.maximum(jnp.diagonal(Hxx, axis1=-2, axis2=-1), 1e-6)
+        Hxx_inv = _inv3x3_sym(Hxx + lam * dHxx[..., None] * eye3
+                              + 1e-8 * eye3)
+        dHpp = jnp.maximum(jnp.diagonal(Hpp, axis1=-2, axis2=-1), 1e-6)
+        dHcc = jnp.maximum(jnp.diagonal(Hcc, axis1=-2, axis2=-1), 1e-6)
+        # SCHUR_JACOBI self term, N-major
+        W = jnp.einsum("nki,nkj->nij", Jp, Jx)  # (N, 6, 3)
+        WV = jnp.einsum("nij,njk->nik", W, Hxx_inv[problem.obs_point_idx])
+        S_self = pose_reduce(jnp.einsum("nik,njk->nij", WV, W))
+        Hpp_prec = Hpp - S_self + lam * dHpp[..., None] * eye6 + 1e-8 * eye6
+        Hcc_prec = Hcc + lam * dHcc[..., None] * eye12 + 1e-8 * eye12
+        Hpp_prec_inv = jnp.linalg.inv(Hpp_prec)
+        Hcc_prec_inv = jnp.linalg.inv(Hcc_prec)
+
         def S_matvec(u_pose, u_cam):
             # a_k = Jp u[p] + Jc u[c]                    (N, 2)
             a = jnp.einsum("nki,ni->nk", Jp, u_pose[problem.obs_pose_idx]) \
@@ -452,10 +489,21 @@ def lm_step(state: LMState, options: BAOptions, axis_name: Optional[str] = None,
 
     # reduced RHS: -g_cam + W Hxx^-1 g_x
     hg = jnp.einsum("mij,mj->mi", Hxx_inv, gx)  # (M, 3)
-    # b_k correction term: Jcam^T Jx Hxx^-1 gx
-    t = jnp.einsum("nki,ni->nk", Jx, hg[problem.obs_point_idx])  # (N, 2)
-    rhs_pose = -gp + pose_reduce(jnp.einsum("nki,nk->ni", Jp, t))
-    rhs_cam = -gc + cam_reduce(jnp.einsum("nki,nk->ni", Jc, t))
+    if use_ps:
+        # b_k correction term in pose-major
+        t_ps = jnp.einsum("pski,psi->psk", Jx_l, hg[ptidx_l])  # (P, S, 2)
+        rhs_pose = -gp + jnp.einsum("pski,psk->pi", Jp_l, t_ps)
+        if use_cam:
+            rhs_cam = -gc + jnp.einsum(
+                "pc,pi->ci", pose_cam_oh,
+                jnp.einsum("pski,psk->pi", Jc_l, t_ps))
+        else:
+            rhs_cam = -gc
+    else:
+        # b_k correction term: Jcam^T Jx Hxx^-1 gx
+        t = jnp.einsum("nki,ni->nk", Jx, hg[problem.obs_point_idx])  # (N, 2)
+        rhs_pose = -gp + pose_reduce(jnp.einsum("nki,nk->ni", Jp, t))
+        rhs_cam = -gc + cam_reduce(jnp.einsum("nki,nk->ni", Jc, t))
 
     def precond(u_pose, u_cam):
         return (
@@ -492,10 +540,18 @@ def lm_step(state: LMState, options: BAOptions, axis_name: Optional[str] = None,
     du_pose, du_cam = x
 
     # ---- back-substitute point updates ------------------------------------
-    a = jnp.einsum("nki,ni->nk", Jp, du_pose[problem.obs_pose_idx]) + jnp.einsum(
-        "nki,ni->nk", Jc, du_cam[problem.obs_cam_idx]
-    )
-    rhs_x = -gx - point_reduce(jnp.einsum("nki,nk->ni", Jx, a))
+    if use_ps:
+        a_ps = jnp.einsum("pski,pi->psk", Jp_l, du_pose)
+        if use_cam:
+            a_ps = a_ps + jnp.einsum("pski,pi->psk", Jc_l, du_cam[pose_cam])
+        a_flat = a_ps.reshape(-1, 2)
+        a_pm = jnp.take(a_flat, jnp.maximum(gidx, 0).reshape(-1), axis=0)
+        a_pm = a_pm.reshape(gidx.shape + (2,)) * gmask[..., None]
+        rhs_x = -gx - jnp.einsum("mtki,mtk->mi", Jx_pm, a_pm)
+    else:
+        a = jnp.einsum("nki,ni->nk", Jp, du_pose[problem.obs_pose_idx]) \
+            + jnp.einsum("nki,ni->nk", Jc, du_cam[problem.obs_cam_idx])
+        rhs_x = -gx - point_reduce(jnp.einsum("nki,nk->ni", Jx, a))
     dx = jnp.einsum("mij,mj->mi", Hxx_inv, rhs_x)
 
     # apply masks (frozen dofs stay put even with numerical noise)

@@ -53,8 +53,29 @@ def _rays_batched(cam_xys) -> list:
     out: list = [None] * len(cam_xys)
     groups: Dict[tuple, list] = {}
     for k, (cam, xys) in enumerate(cam_xys):
+        mid = int(cam.model_id)
+        p = np.asarray(cam.params, np.float64)
+        pin = None  # (fx, fy, cx, cy) when the model is effectively pinhole
+        if mid == int(camera_models.CameraModelId.SIMPLE_PINHOLE):
+            pin = (p[0], p[0], p[1], p[2])
+        elif mid == int(camera_models.CameraModelId.PINHOLE):
+            pin = (p[0], p[1], p[2], p[3])
+        elif (mid == int(camera_models.CameraModelId.SIMPLE_RADIAL)
+              and len(p) >= 4 and p[3] == 0.0):
+            pin = (p[0], p[0], p[1], p[2])
+        elif (mid == int(camera_models.CameraModelId.RADIAL)
+              and len(p) >= 5 and p[3] == 0.0 and p[4] == 0.0):
+            pin = (p[0], p[0], p[1], p[2])
+        if pin is not None:
+            # distortion-free: rays are a closed-form host expression — no
+            # device round-trip (the device path costs a compile + an
+            # MB-scale download through the tunnel)
+            fx, fy, cx, cy = pin
+            out[k] = ((xys - np.array([cx, cy]))
+                      / np.array([fx, fy])).astype(np.float32)
+            continue
         cap = max(64, 1 << (max(len(xys), 1) - 1).bit_length())
-        groups.setdefault((cam.model_id, cap), []).append(k)
+        groups.setdefault((mid, cap), []).append(k)
 
     for (model_id, cap), idxs in groups.items():
         params = np.stack([cam_xys[k][0].padded_params() for k in idxs])

@@ -102,7 +102,8 @@ def _bucket(n: int, lo: int = 64) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _pnp_ransac_one(key, points3d, rays, valid, err_norm):
+def _pnp_ransac_one(key, points3d, rays, valid, err_norm,
+                    num_samples: int = 1024):
     """P3P LO-RANSAC + GN polish; residuals in normalized coords."""
     scale = 1.0 / jnp.maximum(err_norm, 1e-12) ** 2
 
@@ -117,7 +118,8 @@ def _pnp_ransac_one(key, points3d, rays, valid, err_norm):
         data=(points3d, rays),
         valid=valid,
         sample_size=3,
-        options=RansacOptions(max_error=1.0, num_samples=1024, lo_iterations=3),
+        options=RansacOptions(max_error=1.0, num_samples=num_samples,
+                              lo_iterations=3),
     )
     w = jnp.where(res.inlier_mask, 1.0, 0.0)
     pose = apose.gn_refine_pose(res.model, points3d, rays, w, num_iters=10)
@@ -128,14 +130,20 @@ def _pnp_ransac_one(key, points3d, rays, valid, err_norm):
     return jnp.concatenate([pose, inliers.astype(jnp.float32)])
 
 
-@jax.jit
-def _pnp_ransac_batch(keys, points3d, rays, valid, err_norms):
+@partial(jax.jit, static_argnames=("num_samples",))
+def _pnp_ransac_batch(keys, points3d, rays, valid, err_norms,
+                      num_samples: int = 1024):
     """Register a whole candidate batch: vmapped P3P LO-RANSAC.
 
     Shapes: keys (K, 2), points3d (K, N, 3), rays (K, N, 2), valid (K, N),
-    err_norms (K,). Returns (K, 7 + N).
-    """
-    return jax.vmap(_pnp_ransac_one)(keys, points3d, rays, valid, err_norms)
+    err_norms (K,). Returns (K, 7 + N). `num_samples` = RANSAC hypothesis
+    budget: the P3P solves dominate the program (~37 ms/candidate at 1024
+    on v5e, cap-independent), so registration first tries a 256-sample
+    pass and retries only the failed candidates at 1024 — the analog of
+    the reference's dynamic trial count (optim/ransac.h:77, few hundred
+    trials at the inlier ratios registration actually sees)."""
+    return jax.vmap(partial(_pnp_ransac_one, num_samples=num_samples))(
+        keys, points3d, rays, valid, err_norms)
 
 
 @jax.jit
@@ -850,9 +858,27 @@ class IncrementalMapper:
             rays[k, :n] = self._flat_rays[self._kp_off[r] + f]
             valid[k, :n] = True
             errs[k] = self.options.abs_pose_max_error / self._focal_arr[r]
-        keys = self._next_keys(K_b)
+
+        def acceptance(packed, k, n):
+            inliers = packed[k, 7:] > 0.5
+            num_inl = int(inliers[:n].sum())
+            return (num_inl >= self.options.abs_pose_min_num_inliers
+                    and num_inl / n >= self.options.abs_pose_min_inlier_ratio)
+
+        # stage 1: 256-sample budget (covers inlier ratios down to ~0.26
+        # at 99% confidence); failed candidates retry at the full budget
         packed = np.asarray(_pnp_ransac_batch(
-            keys, X, rays, valid, errs))
+            self._next_keys(K_b), X, rays, valid, errs, num_samples=256))
+        retry = [k for k, (iid, f, _) in enumerate(cands)
+                 if not acceptance(packed, k, len(f))]
+        if retry:
+            R_b = _bucket(len(retry), lo=1)
+            sel = np.asarray((retry + [0] * R_b)[:R_b], np.int64)
+            packed2 = np.asarray(_pnp_ransac_batch(
+                self._next_keys(R_b), X[sel], rays[sel], valid[sel],
+                errs[sel], num_samples=1024))
+            for j, k in enumerate(retry):
+                packed[k] = packed2[j]
 
         accepted: List[int] = []
         for k, (iid, f, pids) in enumerate(cands):
