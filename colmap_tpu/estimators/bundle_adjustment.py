@@ -98,6 +98,13 @@ class BAOptions:
     # or once lambda saturates at max_lambda (solver stuck). <= 0 disables
     # and always runs max_iterations (the fixed-cost bench mode).
     function_tolerance: float = 1e-6
+    # truncated-CG forcing tolerance (reference: ceres Solver::Options::eta
+    # for ITERATIVE_SCHUR, default 0.1): the inner PCG stops once the
+    # preconditioned residual norm drops below eta * its starting value,
+    # so nearly-converged solves (most intermediate global BAs in the
+    # mapper) cost a handful of matvecs instead of the full cg_iterations
+    # budget. <= 0 disables (fixed-trip-count CG, the bench mode).
+    cg_tolerance: float = 0.0
     # camera model id shared by the problem (static specialization)
     camera_model_id: int = int(camera_models.CameraModelId.SIMPLE_RADIAL)
 
@@ -534,9 +541,25 @@ def lm_step(state: LMState, options: BAOptions, axis_name: Optional[str] = None,
         return (x, rr, z, p, rz_new)
 
     n_cg = options.cg_iterations if cg_iters is None else cg_iters
-    x, _, _, _, _ = jax.lax.fori_loop(
-        0, n_cg, cg_body, (x0, r0, z0, p0, dot(r0, z0))
-    )
+    rz0 = dot(r0, z0)
+    if options.cg_tolerance > 0:
+        # truncated CG: rz is the squared preconditioned residual norm;
+        # stop at ||r||_M <= eta * ||r0||_M (ceres eta semantics)
+        thresh = (options.cg_tolerance ** 2) * rz0
+
+        def cg_cond(carry):
+            i, (_, _, _, _, rz) = carry
+            return (i < n_cg) & (rz > thresh)
+
+        _, (x, _, _, _, _) = jax.lax.while_loop(
+            cg_cond,
+            lambda c: (c[0] + 1, cg_body(c[0], c[1])),
+            (jnp.int32(0), (x0, r0, z0, p0, rz0)),
+        )
+    else:
+        x, _, _, _, _ = jax.lax.fori_loop(
+            0, n_cg, cg_body, (x0, r0, z0, p0, rz0)
+        )
     du_pose, du_cam = x
 
     # ---- back-substitute point updates ------------------------------------

@@ -1533,6 +1533,7 @@ class IncrementalMapper:
                 loss_scale=1.0,
                 camera_model_id=cam0.model_id,
                 refine_intrinsics=False,
+                cg_tolerance=0.1,  # ceres eta default for ITERATIVE_SCHUR
             )
         iters = np.array([ba_options.max_iterations,
                           ba_options.cg_iterations], np.int32)
@@ -1571,6 +1572,7 @@ class IncrementalMapper:
                 loss_scale=1.0,
                 camera_model_id=cam0.model_id,
                 refine_intrinsics=refine_intrinsics,
+                cg_tolerance=0.1,  # ceres eta default for ITERATIVE_SCHUR
             )
         # iteration budgets ride as DYNAMIC scalars so global BAs with
         # different budgets (intermediate vs final) share one compiled
