@@ -79,9 +79,10 @@ def bench_ba(refine_intrinsics=False, reps=5):
 
     problem, _ = _build_problem(num_poses=500, num_points=50_000,
                                 obs_per_point=6, seed=7)
-    # fixed-iteration mode (function_tolerance=0) for stable timing
+    # fixed-iteration mode (function_tolerance=0, cg_tolerance=0 ->
+    # fixed-trip CG) for stable timing
     options = ba.BAOptions(max_iterations=10, cg_iterations=20,
-                           function_tolerance=0.0,
+                           function_tolerance=0.0, cg_tolerance=0.0,
                            refine_intrinsics=refine_intrinsics)
     solve = jax.jit(lambda p: ba.solve(p, options))
     state = solve(problem)
@@ -229,6 +230,16 @@ def bench_matcher(reps=5, pipeline_depth=4):
 
 
 def bench_mapping(num_images=200):
+    """Incremental mapping throughput, cold/warm split.
+
+    The timed quantity of record is the WARM run: the same 200-image
+    reconstruction executed twice, where the first pass populates the
+    jit + persistent-XLA caches (every shape bucket the run touches) and
+    the second pass measures steady-state mapper throughput. The first
+    pass's wall time is reported as cold_s — in a fresh driver window
+    with a stale compile cache the cold pass is compile-dominated and is
+    NOT a throughput number (round-3 lesson: a single cold-timed run
+    halved the metric of record)."""
     from colmap_tpu.controllers.incremental_pipeline import IncrementalPipeline
     from colmap_tpu.scene.database import Database
     from colmap_tpu.scene.synthetic import (
@@ -242,10 +253,15 @@ def bench_mapping(num_images=200):
                                 num_points3D=10 * num_images,
                                 point2D_stddev=0.5, seed=3), db)
     t0 = time.perf_counter()
+    rec_cold = IncrementalPipeline(db).run()
+    cold_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
     rec = IncrementalPipeline(db).run()
-    dt = time.perf_counter() - t0
+    warm_s = time.perf_counter() - t0
     n_reg = 0 if rec is None else rec.num_registered_images()
-    return n_reg / dt, n_reg
+    n_cold = 0 if rec_cold is None else rec_cold.num_registered_images()
+    return dict(warm_img_per_s=n_reg / warm_s, cold_s=cold_s,
+                cold_img_per_s=n_cold / cold_s, n_reg=n_reg)
 
 
 def main():
@@ -267,9 +283,13 @@ def main():
         results["ba_lm_iters_per_s_refine_intrinsics"] = {"error": str(e)[:100]}
     try:
         s = bench_sift()
+        # like-for-like ratio: wall-vs-wall (cv2 baseline is a wall rate);
+        # the device-rate ratio is published alongside, labeled as such
         results["sift_batched_img_per_s_1472x1088"] = dict(
             s, unit="img/s device rate (batch 4, 4096 feats)",
-            vs_baseline=round(s["value"] / CV2_SIFT_IMG_PER_S, 2))
+            vs_baseline=round(s["wall_img_per_s"] / CV2_SIFT_IMG_PER_S, 2),
+            vs_baseline_device_rate=round(s["value"] / CV2_SIFT_IMG_PER_S,
+                                          2))
     except Exception as e:  # TPU worker memory is variable; keep the line
         results["sift_batched_img_per_s_1472x1088"] = {"error": str(e)[:100]}
     try:
@@ -281,30 +301,48 @@ def main():
         results["matcher_pairs_per_s_16x4096sq"] = {"error": str(e)[:100]}
     try:
         n_img = int(os.environ.get("BENCH_MAPPING_IMAGES", "200"))
-        img_ps, n_reg = bench_mapping(n_img)
+        mp = bench_mapping(n_img)
         results["mapping_images_registered_per_s"] = {
-            "value": round(img_ps, 3),
-            "unit": f"img/s ({n_reg}/{n_img} registered, warm jit cache)",
-            "vs_baseline": round(img_ps / REF_MAPPER_IMG_PER_S, 2),
+            "value": round(mp["warm_img_per_s"], 3),
+            "unit": (f"img/s warm ({mp['n_reg']}/{n_img} registered; "
+                     "2nd identical run, all caches hot)"),
+            "cold_s": round(mp["cold_s"], 1),
+            "cold_img_per_s": round(mp["cold_img_per_s"], 3),
+            "vs_baseline": round(mp["warm_img_per_s"]
+                                 / REF_MAPPER_IMG_PER_S, 2),
         }
     except Exception as e:
         results["mapping_images_registered_per_s"] = {"error": str(e)[:100]}
 
     # Long-form runs executed out-of-band (hours-scale; cannot run inside
     # the driver's bench window) publish their reports into the repo; embed
-    # them so the round's BENCH file carries the evidence:
-    #   SCALE_r03.json  — 1000-image north-star run (scripts/scale_run.py)
+    # them so the round's BENCH file carries the evidence. These blocks are
+    # BUILDER-PRODUCED, not driver-measured — each is stamped
+    # self_reported=true with its producing command + UTC timestamp (the
+    # writers in scripts/ add these; added here too as a backstop):
+    #   SCALE_r*.json   — 1000-image north-star run (scripts/scale_run.py)
+    #   E2E_SCALE_r*.json — full pixels->model pipeline scale run
     #   DSLR_GATE.json  — DSLR-res accuracy gate
     #                     (scripts/benchmark_reconstruction.py --synthetic 20
     #                      --synthetic_width 1536 --synthetic_height 1152)
+    import glob
+
     here = os.path.dirname(os.path.abspath(__file__))
-    for key, fname in (("scale_run_1000img", "SCALE_r03.json"),
-                       ("dslr_accuracy_gate", "DSLR_GATE.json")):
-        path = os.path.join(here, fname)
-        if os.path.exists(path):
+
+    def latest(pattern):
+        hits = sorted(glob.glob(os.path.join(here, pattern)))
+        return hits[-1] if hits else None
+
+    for key, path in (("scale_run_1000img", latest("SCALE_r*.json")),
+                      ("e2e_scale_run", latest("E2E_SCALE_r*.json")),
+                      ("dslr_accuracy_gate", latest("DSLR_GATE*.json"))):
+        if path and os.path.exists(path):
             try:
                 with open(path) as fp:
-                    results[key] = json.load(fp)
+                    blob = json.load(fp)
+                blob.setdefault("self_reported", True)
+                blob.setdefault("source_file", os.path.basename(path))
+                results[key] = blob
             except Exception as e:
                 results[key] = {"error": str(e)[:100]}
 

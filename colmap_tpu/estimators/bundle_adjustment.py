@@ -98,13 +98,17 @@ class BAOptions:
     # or once lambda saturates at max_lambda (solver stuck). <= 0 disables
     # and always runs max_iterations (the fixed-cost bench mode).
     function_tolerance: float = 1e-6
-    # truncated-CG forcing tolerance (reference: ceres Solver::Options::eta
-    # for ITERATIVE_SCHUR, default 0.1): the inner PCG stops once the
-    # preconditioned residual norm drops below eta * its starting value,
-    # so nearly-converged solves (most intermediate global BAs in the
-    # mapper) cost a handful of matvecs instead of the full cg_iterations
-    # budget. <= 0 disables (fixed-trip-count CG, the bench mode).
-    cg_tolerance: float = 0.0
+    # truncated-CG forcing tolerance, eta-style (reference: ceres
+    # Solver::Options::eta for ITERATIVE_SCHUR, default 0.1): the inner
+    # PCG stops once the preconditioned residual norm drops below
+    # eta * its starting value, so nearly-converged solves (most
+    # intermediate global BAs in the mapper) cost a handful of matvecs
+    # instead of the full cg_iterations budget. Note ceres applies eta as
+    # a Q-criterion (relative decrease of the CG quadratic model); this is
+    # the classical r-ratio variant on the preconditioned residual.
+    # <= 0 disables (fixed-trip-count CG — benches pass 0.0 explicitly
+    # for stable timing).
+    cg_tolerance: float = 0.1
     # camera model id shared by the problem (static specialization)
     camera_model_id: int = int(camera_models.CameraModelId.SIMPLE_RADIAL)
 
@@ -543,8 +547,12 @@ def lm_step(state: LMState, options: BAOptions, axis_name: Optional[str] = None,
     n_cg = options.cg_iterations if cg_iters is None else cg_iters
     rz0 = dot(r0, z0)
     if options.cg_tolerance > 0:
-        # truncated CG: rz is the squared preconditioned residual norm;
-        # stop at ||r||_M <= eta * ||r0||_M (ceres eta semantics)
+        # truncated CG: rz = r^T M^-1 r is the squared M-inverse-norm of
+        # the residual; stop once it drops below eta^2 * its start value.
+        # This is an eta-style forcing tolerance on the preconditioned
+        # residual norm (ceres uses eta as a Q-criterion — relative
+        # decrease of the CG quadratic model — this is the classical
+        # r-ratio variant).
         thresh = (options.cg_tolerance ** 2) * rz0
 
         def cg_cond(carry):

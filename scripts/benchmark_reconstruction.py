@@ -114,8 +114,15 @@ def run(args):
         return 1
     res = compare_reconstructions(rec, gt)
     n_gt = sum(1 for im in gt.images.values() if im.registered)
+    import datetime
+
     report = {
         "ok": True,
+        # builder-produced evidence (bench.py embeds this file verbatim)
+        "self_reported": True,
+        "produced_by": "python " + " ".join(sys.argv),
+        "timestamp_utc": datetime.datetime.now(
+            datetime.timezone.utc).isoformat(timespec="seconds"),
         "elapsed_s": round(elapsed, 1),
         "num_registered": rec.num_registered_images(),
         "num_gt_images": n_gt,

@@ -74,7 +74,15 @@ def main():
                  "in %.1fs", args.num_images, len(gt.points3D), n_obs_gt,
                  synth_s)
 
+    import datetime
+
     report = {"ok": False, "mode": args.mode,
+              # builder-produced evidence, not driver-measured (the run is
+              # hours-scale; the bench embeds this file verbatim)
+              "self_reported": True,
+              "produced_by": "python " + " ".join(sys.argv),
+              "timestamp_utc": datetime.datetime.now(
+                  datetime.timezone.utc).isoformat(timespec="seconds"),
               "num_images": args.num_images,
               "gt_points": len(gt.points3D), "gt_obs": n_obs_gt,
               "synth_s": round(synth_s, 1)}

@@ -222,6 +222,25 @@ def test_ba_early_exit_function_tolerance(rng):
                                rtol=1e-3, atol=1e-6)
 
 
+def test_ba_truncated_cg_matches_fixed_trip(rng):
+    """cg_tolerance (eta-style truncated CG, the mapper default) must reach
+    the same optimum as fixed-trip CG — mirrors
+    test_ba_early_exit_function_tolerance for the inner while_loop path."""
+    poses, cams, points, obs, model_id = build_synthetic_ba(rng)
+    problem = ba.make_problem(poses, cams, points, *obs,
+                              fix_first_pose_and_gauge=True)
+    trunc = ba.BAOptions(max_iterations=20, cg_iterations=25,
+                         camera_model_id=model_id, cg_tolerance=0.1)
+    fixed = ba.BAOptions(max_iterations=20, cg_iterations=25,
+                         camera_model_id=model_id, cg_tolerance=0.0)
+    s_trunc = ba.solve(problem, trunc)
+    s_fixed = ba.solve(problem, fixed)
+    np.testing.assert_allclose(float(s_trunc.cost), float(s_fixed.cost),
+                               rtol=1e-3, atol=1e-9)
+    # truncation must not make the solution worse than a small margin
+    assert float(s_trunc.cost) <= float(s_fixed.cost) * (1 + 1e-3)
+
+
 def test_device_layouts_match_host(rng):
     """build_gather_layouts_traced must reproduce the host tables exactly
     (the mapper ships only the index arrays through the tunnel and
