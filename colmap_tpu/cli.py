@@ -426,13 +426,18 @@ def run_image_filterer(argv):
 def run_patch_match_stereo(argv):
     om, parser = _om_parser("patch_match_stereo")
     parser.add_argument("--workspace_path", required=True)
+    parser.add_argument("--num_devices", type=int, default=1,
+                        help="round-robin problems over this many local "
+                             "devices (0 = all; reference: comma GPU "
+                             "lists, mvs/patch_match.cc:193-228)")
     args = parser.parse_args(argv)
     om.parse_args(args)
     from colmap_tpu.controllers import dense_reconstruction as dense
 
     dense.run_patch_match_stereo(
         args.workspace_path,
-        dense.PatchMatchStereoOptions(patch_match=om.PatchMatchStereo))
+        dense.PatchMatchStereoOptions(patch_match=om.PatchMatchStereo,
+                                      num_devices=args.num_devices))
     return 0
 
 

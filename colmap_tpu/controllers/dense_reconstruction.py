@@ -44,6 +44,13 @@ class PatchMatchStereoOptions:
     max_num_src_images: int = 8
     geom_consistency: bool = True  # second pass like the reference default
     max_image_size: int = -1
+    # multi-device: round-robin per-reference-image PatchMatch problems
+    # over local devices — the exact mechanism of the reference's
+    # multi-GPU PatchMatchController (mvs/patch_match.cc:193-228, one
+    # worker per GPU from the comma GPU list). 0 = all local devices;
+    # 1 = single-device (default). Dispatch is asynchronous: each device
+    # works on its problem while the host prepares the next.
+    num_devices: int = 1
 
 
 def _load_workspace(workspace_path: str, max_image_size: int = -1):
@@ -89,9 +96,16 @@ def run_patch_match_stereo(workspace_path: str,
                                          options.max_image_size)
     key = jax.random.PRNGKey(seed)
 
+    from colmap_tpu.sfm.incremental_mapper import resolve_num_devices
+
+    n_dev = resolve_num_devices(options.num_devices)
+    devices = jax.local_devices()[:n_dev]
+    solve = jax.jit(pm.patch_match, static_argnames=("options",))
+
     def solve_all(geom: bool, prior: Dict[int, np.ndarray]):
         depths, normals = {}, {}
-        for ref_id, im in sorted(model.images.items()):
+        pending = []  # (ref_id, name, device results) — round-robin queue
+        for idx, (ref_id, im) in enumerate(sorted(model.images.items())):
             srcs = model.src_images(ref_id, options.max_num_src_images)
             if not srcs:
                 logger.warning("image %d has no source images", ref_id)
@@ -103,34 +117,49 @@ def run_patch_match_stereo(workspace_path: str,
                               for i, s in enumerate(srcs)])
             src_depths = None
             if geom:
-                src_depths = jnp.asarray(np.stack(
-                    [prior.get(s, np.zeros_like(images[s])) for s in srcs]),
-                    jnp.float32)
+                src_depths = np.stack(
+                    [prior.get(s, np.zeros_like(images[s])) for s in srcs]
+                ).astype(np.float32)
+            # round-robin over devices (reference: one worker thread per
+            # GPU, problems assigned by thread index): committing the
+            # problem arrays to devices[idx % n] runs this problem's
+            # program there; the async dispatch overlaps all devices
+            dev = devices[idx % len(devices)]
+            put = lambda x: jax.device_put(jnp.asarray(x, jnp.float32), dev)
             problem = pm.PatchMatchProblem(
-                ref_image=jnp.asarray(images[ref_id], jnp.float32),
-                src_images=jnp.asarray(
-                    np.stack([images[s] for s in srcs]), jnp.float32),
-                K_ref=jnp.asarray(im.K, jnp.float32),
-                K_src=jnp.asarray(np.stack([model.images[s].K for s in srcs]),
-                                  jnp.float32),
-                R_rel=jnp.asarray(R_rel, jnp.float32),
-                t_rel=jnp.asarray(t_rel, jnp.float32),
-                depth_min=jnp.asarray(dmin, jnp.float32),
-                depth_max=jnp.asarray(dmax, jnp.float32),
-                src_depths=src_depths,
+                ref_image=put(images[ref_id]),
+                src_images=put(np.stack([images[s] for s in srcs])),
+                K_ref=put(im.K),
+                K_src=put(np.stack([model.images[s].K for s in srcs])),
+                R_rel=put(R_rel),
+                t_rel=put(t_rel),
+                depth_min=put(dmin),
+                depth_max=put(dmax),
+                src_depths=None if src_depths is None else put(src_depths),
             )
             po = dataclasses.replace(options.patch_match,
                                      geom_consistency=geom)
             nonlocal key
             key, sub = jax.random.split(key)
-            depth, normal, cost = jax.tree.map(
-                np.asarray, pm.patch_match(sub, problem, po))
-            depths[ref_id] = depth
-            normals[ref_id] = normal
-            logger.info("patch-match %s (%s): %.0f%% estimated",
-                        im.name, "geom" if geom else "photo",
-                        100.0 * float((depth > 0).mean()))
+            depth, normal, cost = solve(jax.device_put(sub, dev), problem,
+                                        options=po)
+            pending.append((ref_id, im.name, depth, normal))
+            # drain once every device has work in flight (bounds host
+            # memory while keeping all devices busy)
+            while len(pending) >= len(devices):
+                _drain(pending.pop(0), depths, normals, geom)
+        while pending:
+            _drain(pending.pop(0), depths, normals, geom)
         return depths, normals
+
+    def _drain(item, depths, normals, geom):
+        ref_id, name, depth, normal = item
+        depth = np.asarray(depth)
+        depths[ref_id] = depth
+        normals[ref_id] = np.asarray(normal)
+        logger.info("patch-match %s (%s): %.0f%% estimated",
+                    name, "geom" if geom else "photo",
+                    100.0 * float((depth > 0).mean()))
 
     depths, normals = solve_all(False, {})
     if options.geom_consistency:

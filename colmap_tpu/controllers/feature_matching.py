@@ -48,6 +48,13 @@ class FeatureMatchingOptions:
     feature_capacity: int = 8192
     block_pairs: int = 32  # pairs per device batch
     min_num_inliers: int = 15
+    # multi-device distribution (TPU analog of the reference's multi-GPU
+    # matcher workers, controllers/feature_matching_utils.cc + comma GPU
+    # lists in feature/sift.h:44-46): >1 shards each pair block's leading
+    # axis over a jax.sharding.Mesh — every chip matches + verifies its
+    # slice of the block with the same program. 0 = all local devices;
+    # 1 = single-device (default).
+    num_devices: int = 1
 
 
 class _ImageData:
@@ -114,6 +121,25 @@ def match_and_verify_blocks(
     match_opts = options.matching
     verify_opts = options.verification
 
+    # multi-device: shard the pair axis of every block over the mesh
+    # (parallel/sharded_matching design, wired into the product path)
+    from colmap_tpu.sfm.incremental_mapper import resolve_num_devices
+
+    n_dev = resolve_num_devices(options.num_devices)
+    pair_sharding = None
+    if n_dev > 1:
+        from jax.sharding import NamedSharding, PartitionSpec
+        from colmap_tpu.parallel.mesh import DATA_AXIS, make_mesh
+
+        mesh = make_mesh(n_dev)
+        pair_sharding = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
+
+    def put(tree):
+        if pair_sharding is None:
+            return tree
+        return jax.tree.map(
+            lambda x: jax.device_put(x, pair_sharding), tree)
+
     # batched verification program (vmap over the pair axis); image sizes
     # enable watermark detection (reference: detect_watermark default on)
     @jax.jit
@@ -131,10 +157,15 @@ def match_and_verify_blocks(
         block = list(block)
         if not block:
             continue
+        # pad the pair axis so it splits evenly across devices (padding
+        # rows have no valid features -> empty matches, skipped on host)
+        B_full = len(block)
+        if n_dev > 1:
+            B_full = -(-len(block) // n_dev) * n_dev
         # ---- batched matching over the block ----
-        d1 = np.zeros((len(block), cap, 128), np.uint8)
+        d1 = np.zeros((B_full, cap, 128), np.uint8)
         d2 = np.zeros_like(d1)
-        v1 = np.zeros((len(block), cap), bool)
+        v1 = np.zeros((B_full, cap), bool)
         v2 = np.zeros_like(v1)
         for i, (a, b) in enumerate(block):
             da = data.get(a)["desc"]
@@ -145,10 +176,11 @@ def match_and_verify_blocks(
             v2[i, :min(len(db_), cap)] = True
         b1 = matching_mod.prepare_descriptors(
             d1.reshape(-1, 128), v1.reshape(-1))
-        b1 = jax.tree.map(lambda x: x.reshape((len(block), cap) + x.shape[1:]), b1)
+        b1 = jax.tree.map(lambda x: x.reshape((B_full, cap) + x.shape[1:]), b1)
         b2 = matching_mod.prepare_descriptors(
             d2.reshape(-1, 128), v2.reshape(-1))
-        b2 = jax.tree.map(lambda x: x.reshape((len(block), cap) + x.shape[1:]), b2)
+        b2 = jax.tree.map(lambda x: x.reshape((B_full, cap) + x.shape[1:]), b2)
+        b1, b2 = put(b1), put(b2)
         midx = np.asarray(matching_mod.match_pairs_batch_auto(
             b1, b2, match_opts))
 
@@ -166,7 +198,7 @@ def match_and_verify_blocks(
         # ---- batched verification ----
         mcap = max(16, max((len(m) for m in pair_matches), default=16))
         mcap = int(2 ** np.ceil(np.log2(mcap)))
-        B = len(block)
+        B = B_full
         rays1 = np.zeros((B, mcap, 2), np.float32)
         rays2 = np.zeros_like(rays1)
         pix1 = np.zeros_like(rays1)
@@ -194,10 +226,11 @@ def match_and_verify_blocks(
 
         key, sub = jax.random.split(key)
         keys = jax.random.split(sub, B)
-        res = verify_batch(keys, jnp.asarray(rays1), jnp.asarray(rays2),
-                           jnp.asarray(pix1), jnp.asarray(pix2),
-                           jnp.asarray(mvalid), jnp.asarray(focal),
-                           jnp.asarray(sizes1), jnp.asarray(sizes2))
+        res = verify_batch(*put((keys, jnp.asarray(rays1),
+                                 jnp.asarray(rays2), jnp.asarray(pix1),
+                                 jnp.asarray(pix2), jnp.asarray(mvalid),
+                                 jnp.asarray(focal), jnp.asarray(sizes1),
+                                 jnp.asarray(sizes2))))
         res = jax.tree.map(np.asarray, res)
 
         # optional guided matching: re-match with the epipolar constraint

@@ -355,7 +355,13 @@ def lm_step(state: LMState, options: BAOptions, axis_name: Optional[str] = None,
                                           with_cam=use_cam)
     point_reduce, pose_reduce, cam_reduce = _make_reducers(
         problem, axis_name, P, C, M)
-    use_ps = axis_name is None and problem.pt_gather_ps is not None
+    # pose-major gather layouts. With axis_name set this is the POSE-SHARDED
+    # distributed regime (parallel/distributed_ba.shard_problem_by_pose):
+    # each shard owns P/n poses + their observations with LOCAL pose
+    # indices; points/cameras are replicated, so point and camera block
+    # reductions psum over the mesh while pose reductions stay shard-local.
+    use_ps = problem.pt_gather_ps is not None
+    pose_sharded = use_ps and axis_name is not None
 
     # robust IRLS scaling + observation weights + frozen-dof column masks
     r2 = jnp.sum(r * r, axis=-1)
@@ -402,8 +408,13 @@ def lm_step(state: LMState, options: BAOptions, axis_name: Optional[str] = None,
         Jx_pm = to_pt(Jx)  # (M, T, 2, 3)
         r_pm = to_pt(r)
 
-        Hxx = jnp.einsum("mtki,mtkj->mij", Jx_pm, Jx_pm)  # (M, 3, 3)
-        gx = jnp.einsum("mtki,mtk->mi", Jx_pm, r_pm)  # (M, 3)
+        # point/camera axes are replicated across shards: their block
+        # reductions see only the local observation slice -> psum totals
+        # them. Pose reductions are shard-local (pose axis is the shard).
+        Hxx = _psum(jnp.einsum("mtki,mtkj->mij", Jx_pm, Jx_pm),
+                    axis_name)  # (M, 3, 3)
+        gx = _psum(jnp.einsum("mtki,mtk->mi", Jx_pm, r_pm),
+                   axis_name)  # (M, 3)
         Hpp = jnp.einsum("pski,pskj->pij", Jp_l, Jp_l)  # (P, 6, 6)
         gp = jnp.einsum("pski,psk->pi", Jp_l, r_l)
         if use_cam:
@@ -413,10 +424,12 @@ def lm_step(state: LMState, options: BAOptions, axis_name: Optional[str] = None,
             pose_cam = problem.pose_cam_idx  # (P,)
             pose_cam_oh = (pose_cam[:, None]
                            == jnp.arange(C)[None, :]).astype(Jc_l.dtype)
-            Hcc = jnp.einsum("pc,pij->cij", pose_cam_oh,
-                             jnp.einsum("pski,pskj->pij", Jc_l, Jc_l))
-            gc = jnp.einsum("pc,pi->ci", pose_cam_oh,
-                            jnp.einsum("pski,psk->pi", Jc_l, r_l))
+            Hcc = _psum(jnp.einsum("pc,pij->cij", pose_cam_oh,
+                                   jnp.einsum("pski,pskj->pij", Jc_l, Jc_l)),
+                        axis_name)
+            gc = _psum(jnp.einsum("pc,pi->ci", pose_cam_oh,
+                                  jnp.einsum("pski,psk->pi", Jc_l, r_l)),
+                       axis_name)
         else:
             Hcc = jnp.zeros((C, 12, 12), Jc.dtype)
             gc = jnp.zeros((C, 12), Jc.dtype)
@@ -448,14 +461,17 @@ def lm_step(state: LMState, options: BAOptions, axis_name: Optional[str] = None,
             q = jnp.einsum("pski,psk->psi", Jx_l, a).reshape(-1, 3)
             gv = jnp.take(q, jnp.maximum(gidx, 0).reshape(-1), axis=0)
             gv = gv.reshape(gidx.shape + (3,))
-            v = jnp.sum(gv * gmask[..., None], axis=1)  # (M, 3)
+            # per-point reduce: local track slice only -> psum totals
+            v = _psum(jnp.sum(gv * gmask[..., None], axis=1),
+                      axis_name)  # (M, 3)
             wv = jnp.einsum("mij,mj->mi", Hxx_inv, v)
             b = a - jnp.einsum("pski,psi->psk", Jx_l, wv[ptidx_l])
             out_pose = jnp.einsum("pski,psk->pi", Jp_l, b) \
                 + lam * dHpp * u_pose + 1e-8 * u_pose
             if use_cam:
                 contrib = jnp.einsum("pski,psk->pi", Jc_l, b)  # (P, 12)
-                out_cam = jnp.einsum("pc,pi->ci", pose_cam_oh, contrib) \
+                out_cam = _psum(jnp.einsum("pc,pi->ci", pose_cam_oh,
+                                           contrib), axis_name) \
                     + lam * dHcc * u_cam + 1e-8 * u_cam
             else:
                 out_cam = u_cam
@@ -505,9 +521,9 @@ def lm_step(state: LMState, options: BAOptions, axis_name: Optional[str] = None,
         t_ps = jnp.einsum("pski,psi->psk", Jx_l, hg[ptidx_l])  # (P, S, 2)
         rhs_pose = -gp + jnp.einsum("pski,psk->pi", Jp_l, t_ps)
         if use_cam:
-            rhs_cam = -gc + jnp.einsum(
+            rhs_cam = -gc + _psum(jnp.einsum(
                 "pc,pi->ci", pose_cam_oh,
-                jnp.einsum("pski,psk->pi", Jc_l, t_ps))
+                jnp.einsum("pski,psk->pi", Jc_l, t_ps)), axis_name)
         else:
             rhs_cam = -gc
     else:
@@ -523,7 +539,13 @@ def lm_step(state: LMState, options: BAOptions, axis_name: Optional[str] = None,
         )
 
     def dot(a, b):
-        return jnp.sum(a[0] * b[0]) + jnp.sum(a[1] * b[1])
+        # pose vectors are sharded in the pose-sharded distributed regime
+        # (each shard holds P/n rows) while camera vectors are replicated:
+        # the pose part psums, the camera part is identical on every shard.
+        dp = jnp.sum(a[0] * b[0])
+        if pose_sharded:
+            dp = jax.lax.psum(dp, axis_name)
+        return dp + jnp.sum(a[1] * b[1])
 
     # ---- PCG --------------------------------------------------------------
     x0 = (jnp.zeros((P, 6), r.dtype), jnp.zeros((C, 12), r.dtype))
@@ -578,7 +600,8 @@ def lm_step(state: LMState, options: BAOptions, axis_name: Optional[str] = None,
         a_flat = a_ps.reshape(-1, 2)
         a_pm = jnp.take(a_flat, jnp.maximum(gidx, 0).reshape(-1), axis=0)
         a_pm = a_pm.reshape(gidx.shape + (2,)) * gmask[..., None]
-        rhs_x = -gx - jnp.einsum("mtki,mtk->mi", Jx_pm, a_pm)
+        rhs_x = -gx - _psum(jnp.einsum("mtki,mtk->mi", Jx_pm, a_pm),
+                            axis_name)
     else:
         a = jnp.einsum("nki,ni->nk", Jp, du_pose[problem.obs_pose_idx]) \
             + jnp.einsum("nki,ni->nk", Jc, du_cam[problem.obs_cam_idx])

@@ -90,11 +90,25 @@ class IncrementalMapperOptions:
     # vmapped device call per round (host decisions stay per-image)
     max_batch_size: int = 16
     num_threads: int = -1  # API parity; host work is vectorized instead
+    # multi-device distribution (the TPU analog of the reference's
+    # multi-GPU work distribution, feature/sift.h:44-46 comma GPU lists /
+    # mvs/patch_match.cc round-robin): >1 routes global BAs through the
+    # pose-sharded distributed solver (parallel/distributed_ba) over a
+    # jax.sharding.Mesh of that many local devices; 0 = use every local
+    # device; 1 = single-device (default)
+    num_devices: int = 1
 
 
 def _bucket(n: int, lo: int = 64) -> int:
     n = max(n, lo)
     return 1 << (n - 1).bit_length()
+
+
+def resolve_num_devices(n: int) -> int:
+    """0 = all local devices (the reference's 'use every GPU' default)."""
+    if n == 0:
+        return jax.local_device_count()
+    return max(1, n)
 
 
 # ---------------------------------------------------------------------------
@@ -1574,6 +1588,31 @@ class IncrementalMapper:
                 refine_intrinsics=refine_intrinsics,
                 cg_tolerance=0.1,  # ceres eta default for ITERATIVE_SCHUR
             )
+        # multi-device: route through the pose-sharded distributed solver
+        # (product path of the reference's multi-GPU distribution — the
+        # TPU build distributes its hottest stage, global BA, over the
+        # mesh; parallel/distributed_ba.solve_distributed)
+        n_dev = resolve_num_devices(self.options.num_devices)
+        if n_dev > 1 and len(all_imgs) >= n_dev:
+            from colmap_tpu.parallel import distributed_ba as dba
+            from colmap_tpu.parallel.mesh import make_mesh
+
+            if getattr(self, "_mesh", None) is None \
+                    or self._mesh.devices.size != n_dev:
+                self._mesh = make_mesh(n_dev)
+            state = dba.solve_distributed(problem, ba_options, self._mesh)
+            flat = np.concatenate([
+                np.asarray(state.problem.poses, np.float64).reshape(-1),
+                np.asarray(state.problem.cam_params, np.float64).reshape(-1),
+                np.asarray(state.problem.points, np.float64).reshape(-1)])
+            self._apply_ba_result(
+                flat, all_imgs, pids, cams,
+                update_intrinsics=refine_intrinsics,
+                shapes=(int(problem.poses.shape[0]),
+                        int(problem.cam_params.shape[0])))
+            if refine_intrinsics:
+                self.invalidate_focal_cache()
+            return
         # iteration budgets ride as DYNAMIC scalars so global BAs with
         # different budgets (intermediate vs final) share one compiled
         # program per shape class (see _solve_packed_buffers)

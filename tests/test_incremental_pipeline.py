@@ -61,3 +61,22 @@ def test_pipeline_with_outlier_matches():
     expect_equal_reconstructions(
         gt, rec, max_rot_deg=1.0, max_center=0.1, min_images=7
     )
+
+
+def test_pipeline_multi_device():
+    """The PRODUCT multi-device path: mapper.num_devices=8 routes every
+    global BA through the pose-sharded distributed solver over the mesh
+    (reference analog: multi-GPU work distribution in the production
+    controllers, mvs/patch_match.cc:193-228 / feature/sift.h:44-46).
+    Accuracy gates must hold exactly as in the single-device run."""
+    import dataclasses
+
+    db = Database(":memory:")
+    gt = synthesize_dataset(
+        SyntheticDatasetOptions(num_images=10, num_points3D=150,
+                                point2D_stddev=0.3), db)
+    opts = IncrementalPipelineOptions()
+    opts.mapper = dataclasses.replace(opts.mapper, num_devices=8)
+    rec = IncrementalPipeline(db, opts).run()
+    assert rec is not None
+    expect_equal_reconstructions(gt, rec, max_rot_deg=0.5, max_center=0.05)

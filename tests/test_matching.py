@@ -164,3 +164,43 @@ def test_guided_matching(rng):
         options=MatchingOptions(max_ratio=1.01, max_distance=3.2),
     )
     np.testing.assert_array_equal(np.asarray(m), np.arange(30))
+
+
+def test_sharded_matching_controller_matches_single(rng):
+    """The matching CONTROLLER with num_devices=8 (pair blocks sharded
+    over the mesh) writes the exact same matches + two-view geometries as
+    the single-device run — the product path of SURVEY.md §2.11's sharded
+    matching. Block size is a mesh multiple so the RNG key split is
+    identical in both runs."""
+    from colmap_tpu.controllers import feature_matching as fm
+    from colmap_tpu.scene.database import Database
+    from colmap_tpu.scene.synthetic import (SyntheticDatasetOptions,
+                                            synthesize_dataset)
+
+    def run(num_devices):
+        db = Database(":memory:")
+        synthesize_dataset(SyntheticDatasetOptions(
+            num_images=9, num_points3D=120, point2D_stddev=0.2, seed=4), db)
+        ids = sorted(db.read_images().keys())
+        pairs = [(ids[i], ids[j]) for i in range(len(ids))
+                 for j in range(i + 1, len(ids))][:16]  # 16 = 2 x 8
+        opts = fm.FeatureMatchingOptions(num_devices=num_devices,
+                                         feature_capacity=256,
+                                         block_pairs=16)
+        # clear preexisting synthetic matches so the controller's writes
+        # are what we compare
+        db.conn.execute("DELETE FROM matches")
+        db.conn.execute("DELETE FROM two_view_geometries")
+        stats = fm.match_pairs(db, pairs, opts, seed=7)
+        tvgs = {k: db.read_two_view_geometry(*k)
+                for k in db.read_all_two_view_geometries()}
+        return stats, tvgs
+
+    s1, t1 = run(1)
+    s8, t8 = run(8)
+    assert s1.num_matched_pairs == s8.num_matched_pairs
+    assert s1.num_verified_pairs == s8.num_verified_pairs
+    assert s1.num_inlier_matches == s8.num_inlier_matches
+    assert set(t1) == set(t8)
+    for k in t1:
+        np.testing.assert_array_equal(t1[k]["matches"], t8[k]["matches"])
