@@ -229,6 +229,98 @@ def bench_matcher(reps=5, pipeline_depth=4):
                                                 / PEAK_BF16_TFLOPS, 2)))
 
 
+def bench_patch_match(width=640, height=480, n_src=4, reps=3,
+                      big_width=2048):
+    """Dense-stereo throughput at reference defaults (window 11x11,
+    5 iters, 4-direction checkerboard propagation + geometric term off),
+    k-chain device-rate methodology as bench_matcher. Also runs ONE
+    big-resolution problem (>= 2000 px, the reference max_image_size
+    regime, patch_match_cuda.cu:1262) to prove memory discipline — it
+    reports only ok/elapsed.
+
+    Bar: the reference's tuned CUDA solver sweeps a full-res image in 5
+    iters x 4 sweeps (mvs/patch_match_cuda.cu). FLOP accounting: per
+    pixel per candidate per source ~ window taps x (4-tap bilinear + NCC
+    accumulation ~ 12 flops)."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from colmap_tpu.mvs import patch_match as pm
+    from colmap_tpu.scene import synthetic_images as synth
+
+    def build(width, height, n_src):
+        focal = 0.9 * width
+        o = synth.RoomDatasetOptions(num_images=n_src + 1, width=width,
+                                     height=height, focal=focal, seed=2)
+        images, K, Rs, ts, depths = synth.render_room_dataset(
+            o, return_depth=True)
+        ref, srcs = 0, list(range(1, n_src + 1))
+        R_rel = np.stack([Rs[s] @ Rs[ref].T for s in srcs])
+        t_rel = np.stack([ts[s] - R_rel[i] @ ts[ref]
+                          for i, s in enumerate(srcs)])
+        gt = depths[ref]
+        return pm.PatchMatchProblem(
+            ref_image=jnp.asarray(images[ref], jnp.float32) / 255.0,
+            src_images=jnp.asarray(np.stack([images[s] for s in srcs]),
+                                   jnp.float32) / 255.0,
+            K_ref=jnp.asarray(K, jnp.float32),
+            K_src=jnp.asarray(np.stack([K] * n_src), jnp.float32),
+            R_rel=jnp.asarray(R_rel, jnp.float32),
+            t_rel=jnp.asarray(t_rel, jnp.float32),
+            depth_min=jnp.asarray(gt[gt > 0].min() * 0.7, jnp.float32),
+            depth_max=jnp.asarray(gt[gt > 0].max() * 1.3, jnp.float32))
+
+    opts = pm.PatchMatchOptions()
+    problem = build(width, height, n_src)
+    solve = jax.jit(pm.patch_match, static_argnames=("options",))
+
+    @partial(jax.jit, static_argnames=("k",))
+    def chain(p, k):
+        def body(carry, _):
+            d, n, c = pm.patch_match(
+                jax.random.PRNGKey(0),
+                p._replace(ref_image=p.ref_image + 0.0 * carry), opts)
+            return jnp.float32(d.sum()), None
+
+        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=k)
+        return c
+
+    for k in (1, 3):
+        float(np.asarray(chain(problem, k)))
+    t1 = _timed_reps(lambda: float(np.asarray(chain(problem, 1))), reps)
+    t3 = _timed_reps(lambda: float(np.asarray(chain(problem, 3))), reps)
+    per_call = (t3 - t1.min()) / 2
+    maps_per_s = 1.0 / per_call
+    mpix = width * height / 1e6
+    # algorithmic flops per depth map: pixels x candidates x srcs x taps
+    # x ~12 flops x (iters + refinement iters)
+    taps = (2 * opts.window_radius // opts.window_step + 1) ** 2
+    cands = 4 + opts.num_perturbations
+    total_iters = opts.num_iterations + opts.num_refinement_iterations
+    flops = (width * height * cands * n_src * taps * 12 * total_iters)
+    tflops = maps_per_s.mean() * flops / 1e12
+    out = dict(value=round(float(maps_per_s.mean()), 3),
+               std=round(float(maps_per_s.std()), 3), reps=reps,
+               mpix_per_s=round(float(maps_per_s.mean() * mpix), 2),
+               mfu=dict(achieved_tflops=round(tflops, 2),
+                        pct_of_bf16_peak=round(100 * tflops
+                                               / PEAK_BF16_TFLOPS, 2)))
+    # memory-discipline run at >= 2000 px (one problem, 2 srcs)
+    try:
+        big_h = int(big_width * 3 / 4)
+        big = build(big_width, big_h, 2)
+        t0 = time.perf_counter()
+        d, _, _ = solve(jax.random.PRNGKey(0), big, options=opts)
+        frac = float(np.asarray((d > 0).mean()))
+        out["big_run"] = dict(ok=True, width=big_width, height=big_h,
+                              elapsed_s=round(time.perf_counter() - t0, 1),
+                              est_frac=round(frac, 3))
+    except Exception as e:
+        out["big_run"] = dict(ok=False, error=str(e)[:120])
+    return out
+
+
 def bench_mapping(num_images=200):
     """Incremental mapping throughput, cold/warm split.
 
@@ -300,6 +392,13 @@ def main():
     except Exception as e:
         results["matcher_pairs_per_s_16x4096sq"] = {"error": str(e)[:100]}
     try:
+        p = bench_patch_match()
+        results["patch_match_depth_maps_per_s_640x480"] = dict(
+            p, unit="depth maps/s (640x480, 4 src, reference defaults)")
+    except Exception as e:
+        results["patch_match_depth_maps_per_s_640x480"] = {
+            "error": str(e)[:100]}
+    try:
         n_img = int(os.environ.get("BENCH_MAPPING_IMAGES", "200"))
         mp = bench_mapping(n_img)
         results["mapping_images_registered_per_s"] = {
@@ -335,6 +434,7 @@ def main():
 
     for key, path in (("scale_run_1000img", latest("SCALE_r*.json")),
                       ("e2e_scale_run", latest("E2E_SCALE_r*.json")),
+                      ("device_scaling_curve", latest("SCALING_r*.json")),
                       ("dslr_accuracy_gate", latest("DSLR_GATE*.json"))):
         if path and os.path.exists(path):
             try:
