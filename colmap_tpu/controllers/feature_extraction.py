@@ -97,6 +97,34 @@ def run_feature_extraction(
 
     import os
 
+    # pending same-bucket images accumulate and extract as ONE vmapped
+    # device dispatch (uint8 upload + single packed download,
+    # sift.extract_batch_packed) — batching amortizes the host-link RTT
+    # the way the reference amortizes GPU dispatch over its worker queue
+    # (reference: feature/extraction.cc producer/consumer pipeline)
+    pending: List[tuple] = []  # (image_id, padded_u8, scale, h, w)
+
+    def flush():
+        if not pending:
+            return
+        # pad short batches to batch_size by repeating the last image so
+        # every bucket shape compiles exactly ONE program
+        bsz = max(1, sift_options.batch_size)
+        stack = np.stack([p[1] for p in pending]
+                         + [pending[-1][1]] * (bsz - len(pending)))
+        bufs = sift_mod.extract_batch_packed(stack, sift_options)
+        for (image_id, _, scale, h, w), buf in zip(pending, bufs):
+            feats = sift_mod._finalize_features(
+                sift_mod.unpack_features(buf), scale, h, w)
+            kp6 = sift_mod.keypoints_to_affine(
+                feats["xy"], feats["scale"], feats["orientation"])
+            database.write_keypoints(image_id, kp6)
+            database.write_descriptors(image_id, feats["descriptors"])
+            num_features[image_id] = len(kp6)
+            logger.info("extracted %d features for image %d",
+                        len(kp6), image_id)
+        pending.clear()
+
     for name in names:
         if controller is not None and controller.check_if_stopped():
             break
@@ -125,14 +153,14 @@ def run_feature_extraction(
                 database.write_pose_prior(image_id, bmp.gps,
                                           coordinate_system=1)
 
-        feats = sift_mod.extract(bmp.data, sift_options)
-        kp6 = sift_mod.keypoints_to_affine(
-            feats["xy"], feats["scale"], feats["orientation"])
-        database.write_keypoints(image_id, kp6)
-        database.write_descriptors(image_id, feats["descriptors"])
+        padded, scale, h, w = sift_mod._prepare_u8(bmp.data, sift_options)
+        if pending and pending[-1][1].shape != padded.shape:
+            flush()  # bucket shape changed: run the accumulated batch
+        pending.append((image_id, padded, scale, h, w))
         image_ids.append(image_id)
-        num_features[image_id] = len(kp6)
-        logger.info("extracted %d features for %s", len(kp6), name)
+        if len(pending) >= max(1, sift_options.batch_size):
+            flush()
 
+    flush()
     database.commit()
     return FeatureExtractionResult(image_ids=image_ids, num_features=num_features)

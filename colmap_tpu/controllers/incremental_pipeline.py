@@ -306,10 +306,14 @@ class IncrementalPipeline(BaseController):
                 self._timed("complete_merge_global",
                             mapper.complete_and_merge_tracks,
                             full_merge=(final and it == 0))
+            t_ba = time.perf_counter()
             self._timed(
                 "global_ba", mapper.adjust_global_bundle,
                 refine_intrinsics=(self.options.ba_refine_focal_length
                                    and n_img >= 8))
+            logger.info("global BA at %d images: %.2fs (%d obs)",
+                        n_img, time.perf_counter() - t_ba,
+                        int((mapper._obs_pid[: mapper._num_obs] >= 0).sum()))
             n_changed += self._timed("filter_global", mapper.filter_points)
             dropped = mapper.filter_images()
             if dropped:

@@ -76,6 +76,10 @@ class SiftExtractionOptions:
     # slices + separable-matmul taps (MXU path); "gather" = element
     # gathers (exact legacy path, used automatically for DSP/affine)
     sampling: str = "window"
+    # images per device dispatch in the extraction controller (TPU knob:
+    # batching amortizes the per-call host-link RTT; same-bucket images
+    # share one vmapped program)
+    batch_size: int = 4
 
     def check(self):
         assert self.octave_resolution >= 1
@@ -835,6 +839,91 @@ def _bucket_shape(h: int, w: int, quantum: int = 64) -> Tuple[int, int]:
     return -(-h // quantum) * quantum, -(-w // quantum) * quantum
 
 
+def _pack_outputs(out: Dict[str, jax.Array]) -> jax.Array:
+    """Pack the fixed-cap extractor outputs into ONE uint8 buffer
+    [cap, 148]: 128 descriptor bytes + 5 bitcast f32 (x, y, scale,
+    orientation, response masked to -inf when invalid). One buffer means
+    ONE device->host transfer — on the tunneled TPU each fetch is a
+    separate ~65 ms RPC, and on production hosts one DMA beats six."""
+    meta = jnp.stack([out["xy"][:, 0], out["xy"][:, 1], out["scale"],
+                      out["orientation"],
+                      jnp.where(out["valid"], out["response"], -jnp.inf)],
+                     axis=-1)  # [cap, 5] f32; resp=-inf marks invalid rows
+    meta_u8 = jax.lax.bitcast_convert_type(meta, jnp.uint8).reshape(
+        meta.shape[0], 20)
+    return jnp.concatenate([out["descriptors"], meta_u8], axis=-1)
+
+
+def unpack_features(buf: np.ndarray) -> Dict[str, np.ndarray]:
+    """Host-side inverse of _pack_outputs for one image's [cap, 148]."""
+    buf = np.ascontiguousarray(buf)
+    desc = buf[:, :128]
+    meta = buf[:, 128:148].copy().view(np.float32).reshape(-1, 5)
+    valid = np.isfinite(meta[:, 4])
+    return {
+        "xy": meta[:, :2],
+        "scale": meta[:, 2],
+        "orientation": meta[:, 3],
+        "response": meta[:, 4],
+        "valid": valid,
+        "descriptors": desc,
+    }
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _extract_packed_u8(image_u8: jax.Array, opts: SiftExtractionOptions):
+    """uint8-in / packed-uint8-out extractor: the image ships over the
+    host link at 1 byte/px (4x less than f32) and the result comes back
+    as one buffer (_pack_outputs)."""
+    img = image_u8.astype(jnp.float32) / 255.0
+    return _pack_outputs(_extract_static.__wrapped__(img, opts))
+
+
+def _to_u8_gray(image: np.ndarray) -> np.ndarray:
+    img = np.asarray(image)
+    if img.ndim == 3:
+        img = (img @ np.array([0.299, 0.587, 0.114], np.float32)
+               if img.shape[-1] == 3 else img[..., 0])
+    if img.dtype != np.uint8:
+        img = np.clip(np.asarray(img, np.float32) * (255.0 if img.max() <= 1.0
+                                                     else 1.0), 0, 255
+                      ).astype(np.uint8)
+    return np.ascontiguousarray(img)
+
+
+def _prepare_u8(image: np.ndarray, options: SiftExtractionOptions
+                ) -> Tuple[np.ndarray, float, int, int]:
+    """Grayscale + downscale + pad to the (64-quantum) shape bucket."""
+    img = _to_u8_gray(image)
+    h, w = img.shape
+    scale = 1.0
+    if max(h, w) > options.max_image_size:
+        scale = options.max_image_size / max(h, w)
+        nh, nw = int(round(h * scale)), int(round(w * scale))
+        img = np.asarray(jnp.clip(jnp.round(jax.image.resize(
+            jnp.asarray(img, jnp.float32), (nh, nw), "bilinear")), 0, 255
+        ).astype(jnp.uint8))
+        h, w = nh, nw
+    bh, bw = _bucket_shape(h, w)
+    padded = np.zeros((bh, bw), np.uint8)
+    padded[:h, :w] = img
+    return padded, scale, h, w
+
+
+def _finalize_features(feats: Dict[str, np.ndarray], scale: float,
+                       h: int, w: int) -> Dict[str, np.ndarray]:
+    xy = feats["xy"]
+    valid = feats["valid"] & (xy[:, 0] < w) & (xy[:, 1] < h) \
+        & (xy[:, 0] >= 0) & (xy[:, 1] >= 0)
+    return {
+        "xy": xy[valid] / scale,
+        "scale": feats["scale"][valid] / scale,
+        "orientation": feats["orientation"][valid],
+        "response": feats["response"][valid],
+        "descriptors": feats["descriptors"][valid],
+    }
+
+
 def extract(image: np.ndarray,
             options: SiftExtractionOptions = SiftExtractionOptions()
             ) -> Dict[str, np.ndarray]:
@@ -845,29 +934,9 @@ def extract(image: np.ndarray,
       descriptors uint8 [N,128].
     """
     options.check()
-    img = _to_float_gray(image)
-    h, w = img.shape
-    scale = 1.0
-    if max(h, w) > options.max_image_size:
-        scale = options.max_image_size / max(h, w)
-        nh, nw = int(round(h * scale)), int(round(w * scale))
-        img = np.asarray(jax.image.resize(jnp.asarray(img), (nh, nw), "bilinear"))
-        h, w = nh, nw
-    bh, bw = _bucket_shape(h, w)
-    padded = np.zeros((bh, bw), np.float32)
-    padded[:h, :w] = img
-    out = _extract_static(jnp.asarray(padded), options)
-    out = {k: np.asarray(v) for k, v in out.items()}
-    xy = out["xy"]
-    valid = out["valid"] & (xy[:, 0] < w) & (xy[:, 1] < h) \
-        & (xy[:, 0] >= 0) & (xy[:, 1] >= 0)
-    return {
-        "xy": xy[valid] / scale,
-        "scale": out["scale"][valid] / scale,
-        "orientation": out["orientation"][valid],
-        "response": out["response"][valid],
-        "descriptors": out["descriptors"][valid],
-    }
+    padded, scale, h, w = _prepare_u8(image, options)
+    buf = np.asarray(_extract_packed_u8(jnp.asarray(padded), options))
+    return _finalize_features(unpack_features(buf), scale, h, w)
 
 
 def extract_batch(images: np.ndarray,
@@ -878,6 +947,24 @@ def extract_batch(images: np.ndarray,
     options.check()
     fn = jax.vmap(lambda im: _extract_static(im, options))
     return fn(jnp.asarray(images, jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _extract_batch_packed_u8(images_u8: jax.Array,
+                             opts: SiftExtractionOptions):
+    return jax.vmap(lambda im: _extract_packed_u8.__wrapped__(im, opts))(
+        images_u8)
+
+
+def extract_batch_packed(padded_u8: np.ndarray,
+                         options: SiftExtractionOptions
+                         ) -> np.ndarray:
+    """Production wall path: [B, H, W] uint8 (already bucket-padded) in,
+    ONE [B, cap, 148] uint8 buffer out (see _pack_outputs). Callers unpack
+    per image with unpack_features."""
+    options.check()
+    return np.asarray(_extract_batch_packed_u8(jnp.asarray(padded_u8),
+                                               options))
 
 
 def keypoints_to_affine(xy: np.ndarray, scale: np.ndarray,

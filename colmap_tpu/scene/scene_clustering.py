@@ -44,7 +44,15 @@ class Cluster:
 
 def _fiedler_bisect(ids: List[int], weights: Dict[Tuple[int, int], float]
                     ) -> Tuple[List[int], List[int]]:
-    """Spectral bisection via the Fiedler vector of the normalized Laplacian."""
+    """Spectral bisection via the Fiedler vector of the normalized Laplacian.
+
+    Shift-invert ARPACK: on sequence-like match graphs the Fiedler
+    eigenvalue is O(1/n^2) and plain which="SM" Lanczos does not converge
+    — it silently returns noise and the "clusters" interleave across the
+    whole sequence (the round-3 hierarchical 95/200 failure). Factorizing
+    (L - sigma*I) with sigma < 0 is SPD and cheap at host scale. The split
+    point along the sorted Fiedler order is chosen by a normalized-cut
+    sweep over the balanced middle range rather than a blind median."""
     import scipy.sparse as sp
     import scipy.sparse.linalg as spla
 
@@ -60,17 +68,45 @@ def _fiedler_bisect(ids: List[int], weights: Dict[Tuple[int, int], float]
     deg = np.asarray(W.sum(1)).reshape(-1)
     deg = np.maximum(deg, 1e-9)
     Dm = sp.diags(1.0 / np.sqrt(deg))
-    L = sp.eye(n) - Dm @ W @ Dm
+    L = (sp.eye(n) - Dm @ W @ Dm).tocsc()
     try:
-        evals, evecs = spla.eigsh(L, k=2, which="SM", maxiter=2000,
-                                  tol=1e-4)
+        v0 = np.full(n, 1.0 / np.sqrt(n))
+        evals, evecs = spla.eigsh(L, k=2, sigma=-1e-2, which="LM",
+                                  v0=v0, maxiter=5000, tol=0)
         fiedler = evecs[:, np.argsort(evals)[1]]
     except Exception:
         fiedler = np.asarray(range(n), float)  # fallback: arbitrary split
     order = np.argsort(fiedler)
-    half = n // 2
-    left = [ids[i] for i in order[:half]]
-    right = [ids[i] for i in order[half:]]
+
+    # sweep cut: among balanced split points, minimize the normalized cut
+    # ncut = cut/vol(A) + cut/vol(B) (Shi-Malik) of the reordered chain
+    pos = np.empty(n, np.int64)
+    pos[order] = np.arange(n)
+    total_vol = float(deg.sum())
+    lo, hi = max(1, n // 4), min(n - 1, (3 * n) // 4) + 1
+    # prefix volumes along the sorted order
+    vol_prefix = np.cumsum(deg[order])
+    # cut(s) for split after sorted position s-1: sum of edge weights
+    # crossing the split; accumulate via per-edge [min_pos, max_pos) range
+    cut_delta = np.zeros(n + 1)
+    coo = sp.triu(W, k=1).tocoo()
+    for r, c, w in zip(coo.row, coo.col, coo.data):
+        a, b = pos[r], pos[c]
+        if a > b:
+            a, b = b, a
+        cut_delta[a + 1] += w
+        cut_delta[b + 1] -= w
+    cut_at = np.cumsum(cut_delta)[:n]  # cut_at[s] = cut after position s-1
+    best, best_s = np.inf, n // 2
+    for s in range(lo, hi):
+        va, vb = vol_prefix[s - 1], total_vol - vol_prefix[s - 1]
+        if va <= 0 or vb <= 0:
+            continue
+        ncut = cut_at[s] / va + cut_at[s] / vb
+        if ncut < best:
+            best, best_s = ncut, s
+    left = [ids[i] for i in order[:best_s]]
+    right = [ids[i] for i in order[best_s:]]
     return left, right
 
 

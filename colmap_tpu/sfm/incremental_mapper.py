@@ -1433,6 +1433,27 @@ class IncrementalMapper:
         cap = _bucket(n_obs)
         P_b = _bucket(len(all_rows), lo=8)
         M_b = _bucket(len(pids), lo=64)
+        if not fix_extra_images:
+            # GLOBAL BA: couple the obs/point buckets to the pose bucket.
+            # Independently-growing pow2 ladders cross boundaries at
+            # different image counts, and each new (cap, P_b, M_b) tuple
+            # is a fresh XLA compile — 30-75 s each through the remote
+            # compiler, which dominated the 400-image profile (16 compiles
+            # ~ 600 s vs 1-5 s steady-state execution per BA). Extrapolate
+            # obs/points to the FULL pose bucket (obs ~ c*n_poses, so
+            # c*P_b is stable within a bucket level): one program per
+            # pose-bucket doubling. High-water marks stop a drifting ratio
+            # from shrinking the shape into yet another program.
+            n_pose = max(len(all_rows), 1)
+            cap = max(cap, _bucket(-(-n_obs * P_b // n_pose)))
+            M_b = max(M_b, _bucket(-(-len(pids) * P_b // n_pose), lo=64))
+            hwm = getattr(self, "_ba_shape_hwm", None)
+            if hwm is None:
+                hwm = self._ba_shape_hwm = {}
+            prev = hwm.get(P_b)
+            if prev is not None:
+                cap, M_b = max(cap, prev[0]), max(M_b, prev[1])
+            hwm[P_b] = (cap, M_b)
         poses_p = np.tile(np.array([1, 0, 0, 0, 0, 0, 0], np.float32),
                           (P_b, 1))
         poses_p[: len(all_rows)] = self._poses[all_rows].astype(np.float32)

@@ -45,6 +45,10 @@ def main():
     p.add_argument("--max_center_err", type=float, default=0.05)
     p.add_argument("--min_registered_ratio", type=float, default=0.95)
     p.add_argument("--seed", type=int, default=3)
+    p.add_argument("--db_cache", default="",
+                   help="path to an on-disk database: synthesized once, "
+                        "reused by later runs (synthesis at 1000 images "
+                        "costs ~700 host-seconds)")
     args = p.parse_args()
 
     logging.basicConfig(level=logging.INFO,
@@ -59,20 +63,35 @@ def main():
     )
 
     t0 = time.time()
-    db = Database(":memory:")
-    gt = synthesize_dataset(SyntheticDatasetOptions(
-        num_images=args.num_images,
-        num_points3D=args.points_per_image * args.num_images,
-        point2D_stddev=args.noise_px,
-        match_config=MatchConfig.CHAINED,
-        match_overlap=args.overlap,
-        point_visibility_images=args.visibility_images,
-        seed=args.seed), db)
+    gt_dir = args.db_cache + ".gt" if args.db_cache else ""
+    if args.db_cache and os.path.exists(args.db_cache) \
+            and os.path.isdir(gt_dir):
+        from colmap_tpu.scene import reconstruction_io as rio
+
+        db = Database(args.db_cache)
+        gt = rio.read_model(gt_dir)
+        synth_s = time.time() - t0
+        logging.info("loaded cached dataset from %s in %.1fs",
+                     args.db_cache, synth_s)
+    else:
+        db = Database(args.db_cache if args.db_cache else ":memory:")
+        gt = synthesize_dataset(SyntheticDatasetOptions(
+            num_images=args.num_images,
+            num_points3D=args.points_per_image * args.num_images,
+            point2D_stddev=args.noise_px,
+            match_config=MatchConfig.CHAINED,
+            match_overlap=args.overlap,
+            point_visibility_images=args.visibility_images,
+            seed=args.seed), db)
+        if gt_dir:
+            from colmap_tpu.scene import reconstruction_io as rio
+
+            os.makedirs(gt_dir, exist_ok=True)
+            rio.write_model(gt, gt_dir, ext=".bin")
+        synth_s = time.time() - t0
+        logging.info("synthesized %d images in %.1fs", args.num_images,
+                     synth_s)
     n_obs_gt = sum(len(pt.track) for pt in gt.points3D.values())
-    synth_s = time.time() - t0
-    logging.info("synthesized %d images / %d points / %d observations "
-                 "in %.1fs", args.num_images, len(gt.points3D), n_obs_gt,
-                 synth_s)
 
     import datetime
 

@@ -145,3 +145,68 @@ def test_max_num_features_cap(textured):
     # ExtractTopScaleFeatures)
     full = sift.extract(textured, OPTS)
     assert np.median(f["scale"]) >= np.median(full["scale"]) - 1e-6
+
+
+def test_packed_path_matches_legacy(textured):
+    """The production packed I/O path (uint8 upload, one packed uint8
+    download; extract/_extract_packed_u8) must produce the same keypoint
+    SET as the separately-jitted f32 program. Exact ordering may differ
+    (jit-boundary fusion perturbs low-order score bits), so agreement is
+    checked set-wise with descriptor equality on matched rows."""
+    import jax.numpy as jnp
+
+    o = sift.SiftExtractionOptions(max_num_features=512,
+                                   octave_capacity=1024)
+    packed = sift.extract(textured, o)
+
+    padded, scale, h, w = sift._prepare_u8(textured, o)
+    out = sift._extract_static(jnp.asarray(padded, jnp.float32) / 255.0, o)
+    legacy = sift._finalize_features(
+        {k: np.asarray(v) for k, v in out.items()}, scale, h, w)
+
+    assert abs(len(packed["xy"]) - len(legacy["xy"])) <= 2
+    # nearest-neighbour matching on (xy, scale, orientation) jointly —
+    # SIFT emits up to two orientations at one location, so xy alone
+    # would pair the wrong twin
+    def emb(f):
+        return np.concatenate([
+            f["xy"], 5.0 * np.log2(f["scale"])[:, None],
+            3.0 * np.cos(f["orientation"])[:, None],
+            3.0 * np.sin(f["orientation"])[:, None]], axis=-1)
+
+    d = np.linalg.norm(emb(packed)[:, None] - emb(legacy)[None], axis=-1)
+    nn = d.argmin(1)
+    close = d[np.arange(len(nn)), nn] < 0.5
+    assert close.mean() > 0.98
+    # descriptors are uint8-quantized (round(512*f32)): low-order float
+    # differences across fusion flip single bytes by +-1 — compare with a
+    # per-byte tolerance instead of bit equality
+    diff = np.abs(packed["descriptors"][close].astype(np.int32)
+                  - legacy["descriptors"][nn[close]].astype(np.int32))
+    assert (diff.max(-1) <= 2).mean() > 0.95
+    assert diff.mean() < 0.2
+
+
+def test_unpack_features_roundtrip():
+    """_pack_outputs/unpack_features: bitcast f32 meta + invalid marking
+    survive the uint8 round trip exactly."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    n = 64
+    out = {
+        "xy": jnp.asarray(rng.normal(size=(n, 2)) * 100, jnp.float32),
+        "scale": jnp.asarray(rng.uniform(1, 8, n), jnp.float32),
+        "orientation": jnp.asarray(rng.uniform(-3, 3, n), jnp.float32),
+        "response": jnp.asarray(rng.uniform(0, 1, n), jnp.float32),
+        "valid": jnp.asarray(rng.random(n) > 0.3),
+        "descriptors": jnp.asarray(
+            rng.integers(0, 256, (n, 128)), jnp.uint8),
+    }
+    un = sift.unpack_features(np.asarray(sift._pack_outputs(out)))
+    valid = np.asarray(out["valid"])
+    assert (un["valid"] == valid).all()
+    for k in ("xy", "scale", "orientation"):
+        assert (un[k] == np.asarray(out[k])).all(), k
+    assert (un["response"][valid] == np.asarray(out["response"])[valid]).all()
+    assert (un["descriptors"] == np.asarray(out["descriptors"])).all()
