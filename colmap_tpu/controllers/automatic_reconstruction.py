@@ -69,8 +69,16 @@ def run_automatic_reconstruction(
     options: AutomaticReconstructionOptions,
     mapper_options: Optional[IncrementalPipelineOptions] = None,
     seed: int = 0,
+    stage_timings: Optional[dict] = None,
 ):
-    """Returns (reconstruction | None, database)."""
+    """Returns (reconstruction | None, database).
+
+    When `stage_timings` is a dict it is filled with per-stage wall
+    seconds ("extraction", "matching", "mapping", plus the mapper's own
+    stage_s breakdown under "mapping_stages") — the reference reports the
+    same breakdown through its controller timers."""
+    import time as _time
+
     os.makedirs(options.workspace_path, exist_ok=True)
     db_path = os.path.join(options.workspace_path, "database.db")
     database = Database(db_path)
@@ -81,17 +89,30 @@ def run_automatic_reconstruction(
         camera_params=options.camera_params,
     )
     logger.info("=== feature extraction ===")
+    t0 = _time.perf_counter()
     fe.run_feature_extraction(database, options.image_path, reader,
                               options.sift_options())
+    t1 = _time.perf_counter()
 
     logger.info("=== feature matching ===")
     match_opts = fm.FeatureMatchingOptions()
     if options.data_type == DataType.VIDEO:
-        fm.match_sequential(database, match_opts, seed=seed)
+        # video sequences revisit places: vocab-tree loop detection joins
+        # the temporal window (reference automatic_reconstruction.cc wires
+        # SequentialMatching with loop detection for VIDEO)
+        from colmap_tpu.features import pairing as pairing_mod
+
+        fm.match_sequential(
+            database, match_opts,
+            pairing=pairing_mod.SequentialPairingOptions(
+                loop_detection=True),
+            seed=seed)
     else:
         fm.match_exhaustive(database, match_opts, seed=seed)
+    t2 = _time.perf_counter()
 
     rec = None
+    pipeline = None
     if options.sparse:
         logger.info("=== incremental mapping ===")
         pipeline = IncrementalPipeline(
@@ -103,6 +124,14 @@ def run_automatic_reconstruction(
             from colmap_tpu.scene import reconstruction_io
 
             reconstruction_io.write_model(rec, sparse_dir, ext=".bin")
+    if stage_timings is not None:
+        stage_timings["extraction"] = round(t1 - t0, 1)
+        stage_timings["matching"] = round(t2 - t1, 1)
+        stage_timings["mapping"] = round(_time.perf_counter() - t2, 1)
+        if pipeline is not None:
+            stage_timings["mapping_stages"] = {
+                k: round(v, 1) for k, v in sorted(
+                    pipeline.stage_s.items(), key=lambda kv: -kv[1])}
 
     if options.dense and rec is not None:
         logger.info("=== dense reconstruction ===")

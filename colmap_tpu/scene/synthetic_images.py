@@ -157,6 +157,99 @@ def render_room_dataset(options: RoomDatasetOptions = RoomDatasetOptions(),
     return images, K, np.stack(Rs), np.stack(ts)
 
 
+@dataclasses.dataclass
+class OrbitDatasetOptions:
+    """Walk-around capture: the camera circles a textured box standing in
+    the middle of a fully-walled room, looking inward. Consecutive frames
+    get real baseline (unlike a dense arc), points stay co-visible over
+    O(100) frames, and a full orbit closes the loop — the geometry the
+    reference's sequential matcher + vocab-tree loop detection is built
+    for (reference: feature/pairing.h:60-120)."""
+
+    num_images: int = 1000
+    width: int = 640
+    height: int = 480
+    focal: float = 560.0
+    room_size: float = 4.0      # room: [-s, s] x [-s/2, s/2] x [-s, s]
+    box_half: float = 0.9       # central box half-extent in x/z
+    box_height: float = 2.2     # box rises this far up from the floor
+    orbit_radius: float = 2.6
+    orbit_turns: float = 1.0    # fraction of full circles walked
+    texture_res: int = 1024
+    seed: int = 3
+
+
+def _orbit_faces(options: OrbitDatasetOptions):
+    """All planar faces of the orbit scene as (P0, e1, e2) quads."""
+    s = options.room_size
+    b = options.box_half
+    ytop = s / 2 - options.box_height  # up is -y (floor at y=+s/2)
+    return [
+        # room: 4 walls, floor, ceiling (normals point inward via z-test)
+        (np.array([-s, -s / 2, s]), np.array([2 * s, 0, 0]), np.array([0.0, s, 0])),
+        (np.array([s, -s / 2, -s]), np.array([-2 * s, 0, 0]), np.array([0.0, s, 0])),
+        (np.array([s, -s / 2, s]), np.array([0, 0, -2 * s]), np.array([0.0, s, 0])),
+        (np.array([-s, -s / 2, -s]), np.array([0, 0, 2 * s]), np.array([0.0, s, 0])),
+        (np.array([-s, s / 2, s]), np.array([2 * s, 0, 0]), np.array([0, 0, -2 * s])),
+        (np.array([-s, -s / 2, -s]), np.array([2 * s, 0, 0]), np.array([0, 0, 2 * s])),
+        # central box: 4 side faces + top (convex, so nearest-wins z-test
+        # composes them correctly against the walls behind)
+        (np.array([-b, ytop, b]), np.array([2 * b, 0, 0]),
+         np.array([0.0, options.box_height, 0])),
+        (np.array([b, ytop, -b]), np.array([-2 * b, 0, 0]),
+         np.array([0.0, options.box_height, 0])),
+        (np.array([b, ytop, b]), np.array([0, 0, -2 * b]),
+         np.array([0.0, options.box_height, 0])),
+        (np.array([-b, ytop, -b]), np.array([0, 0, 2 * b]),
+         np.array([0.0, options.box_height, 0])),
+        (np.array([-b, ytop, -b]), np.array([2 * b, 0, 0]),
+         np.array([0, 0, 2 * b])),
+    ]
+
+
+def render_orbit_dataset(options: OrbitDatasetOptions = OrbitDatasetOptions(),
+                         return_depth: bool = False):
+    """Render the orbit scene. Returns (images_u8, K, R_w2c, t_w2c)
+    (+ depths with return_depth), same contract as render_room_dataset."""
+    rng = np.random.default_rng(options.seed)
+    w, h = options.width, options.height
+    s = options.room_size
+    K = np.array([[options.focal, 0, w / 2.0],
+                  [0, options.focal, h / 2.0],
+                  [0, 0, 1.0]])
+    faces = _orbit_faces(options)
+    textures = [_texture(rng, options.texture_res) for _ in faces]
+
+    images, Rs, ts, depths = [], [], [], []
+    n = options.num_images
+    r = options.orbit_radius
+    ytop = s / 2 - options.box_height
+    for i in range(n):
+        th = 2 * np.pi * options.orbit_turns * i / n
+        center = np.array([r * np.sin(th),
+                           0.05 * s * np.sin(5 * th),  # slight height bob
+                           r * np.cos(th)])
+        # look at the box mid-height, slightly past center so the wall
+        # behind the box stays in frame
+        target = np.array([-0.2 * center[0], (ytop + s / 2) / 2 - 0.2,
+                           -0.2 * center[2]])
+        R, t = _lookat(center, target)
+        img = np.zeros((h, w), np.float32)
+        dep = np.zeros((h, w), np.float32)
+        for tex, (P0, e1, e2) in zip(textures, faces):
+            val, valid, z = _warp_face(tex, K, R, t, P0, e1, e2, (h, w))
+            closer = valid & ((dep == 0) | (z < dep))
+            img = np.where(closer, val, img)
+            dep = np.where(closer, z, dep)
+        images.append(np.clip(img, 0, 255).astype(np.uint8))
+        depths.append(dep)
+        Rs.append(R)
+        ts.append(t)
+    if return_depth:
+        return images, K, np.stack(Rs), np.stack(ts), np.stack(depths)
+    return images, K, np.stack(Rs), np.stack(ts)
+
+
 def write_dataset(image_dir: str, images: List[np.ndarray]) -> List[str]:
     import os
 

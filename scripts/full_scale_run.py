@@ -1,0 +1,170 @@
+"""North-star FULL-pipeline scale run: pixels -> SIFT -> sequential
+matching (+ vocab-tree loop detection) -> incremental mapper, in one
+command, at the 1000-image scale.
+
+Unlike scripts/scale_run.py (which synthesizes a match database and
+exercises the mapper alone), this renders real frames and runs the same
+everything-path the reference's AutomaticReconstructionController runs
+(/root/reference/src/colmap/controllers/automatic_reconstruction.h:41-126),
+with per-stage wall seconds for extraction / matching / mapping and the
+reference-CI-style accuracy gate vs the render ground truth
+(/root/reference/scripts/python/benchmark_eth3d.py:110-171).
+
+    python scripts/full_scale_run.py --num_images 1000 \
+        --workspace /tmp/full1000
+
+The rendered frames are cached inside the workspace: re-runs with the
+same workspace skip rendering.
+"""
+
+import argparse
+import json
+import logging
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--num_images", type=int, default=1000)
+    p.add_argument("--width", type=int, default=640)
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--quality", default="low",
+                   help="automatic-reconstruction quality preset")
+    p.add_argument("--workspace", default="/tmp/colmap_tpu_full_scale")
+    p.add_argument("--max_rot_deg", type=float, default=1.0)
+    p.add_argument("--max_center_err", type=float, default=0.05)
+    p.add_argument("--min_registered_ratio", type=float, default=0.95)
+    p.add_argument("--seed", type=int, default=3)
+    args = p.parse_args()
+
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(levelname).1s %(message)s")
+
+    from colmap_tpu.geometry import rotation as rot
+    from colmap_tpu.scene import synthetic_images as synth
+    from colmap_tpu.scene.reconstruction import (
+        Camera,
+        Image as RImage,
+        Reconstruction,
+    )
+
+    os.makedirs(args.workspace, exist_ok=True)
+    image_path = os.path.join(args.workspace, "images")
+    gt_path = os.path.join(args.workspace, "gt_model")
+    opts = synth.OrbitDatasetOptions(
+        num_images=args.num_images, width=args.width, height=args.height,
+        focal=0.875 * args.width, seed=args.seed)
+
+    t0 = time.time()
+    from colmap_tpu.scene import reconstruction_io as rio
+
+    if os.path.isdir(image_path) and os.path.isdir(gt_path) and \
+            len(os.listdir(image_path)) == args.num_images:
+        gt = rio.read_model(gt_path)
+        names = sorted(os.listdir(image_path))
+        logging.info("reusing %d cached frames in %s", len(names),
+                     image_path)
+    else:
+        import jax.numpy as jnp
+
+        images, K, Rs, ts = synth.render_orbit_dataset(opts)
+        names = synth.write_dataset(image_path, images)
+        gt = Reconstruction()
+        gt.add_camera(Camera(camera_id=1, model_id=1, width=opts.width,
+                             height=opts.height,
+                             params=np.array([K[0, 0], K[1, 1],
+                                              K[0, 2], K[1, 2]])))
+        for i, (R, t) in enumerate(zip(Rs, ts)):
+            q = np.asarray(rot.rotmat_to_quat(jnp.asarray(R, jnp.float32)))
+            gt.add_image(RImage(image_id=i + 1, name=names[i], camera_id=1,
+                                cam_from_world=np.concatenate([q, t])))
+        os.makedirs(gt_path, exist_ok=True)
+        rio.write_model(gt, gt_path, ext=".bin")
+    render_s = time.time() - t0
+    K = gt.cameras[1].params
+
+    import datetime
+
+    report = {"ok": False, "pipeline": "full (pixels->poses)",
+              # builder-produced evidence, not driver-measured (the run is
+              # hours-scale; bench.py embeds this file verbatim)
+              "self_reported": True,
+              "produced_by": "python " + " ".join(sys.argv),
+              "timestamp_utc": datetime.datetime.now(
+                  datetime.timezone.utc).isoformat(timespec="seconds"),
+              "num_images": args.num_images,
+              "resolution": f"{args.width}x{args.height}",
+              "render_s": round(render_s, 1)}
+
+    from colmap_tpu.controllers.automatic_reconstruction import (
+        AutomaticReconstructionOptions,
+        DataType,
+        Quality,
+        run_automatic_reconstruction,
+    )
+    from colmap_tpu.controllers.incremental_pipeline import (
+        IncrementalPipelineOptions,
+    )
+    from colmap_tpu.estimators.similarity_transform import (
+        compare_reconstructions,
+    )
+
+    stage_timings: dict = {}
+    t0 = time.time()
+    try:
+        rec, _db = run_automatic_reconstruction(
+            AutomaticReconstructionOptions(
+                workspace_path=args.workspace, image_path=image_path,
+                data_type=DataType.VIDEO,
+                quality=Quality[args.quality.upper()],
+                camera_model="PINHOLE", single_camera=True,
+                camera_params=",".join(str(float(v)) for v in K)),
+            mapper_options=IncrementalPipelineOptions(
+                snapshot_path=os.path.join(args.workspace, "snapshots"),
+                snapshot_images_freq=200),
+            seed=args.seed, stage_timings=stage_timings)
+    except Exception as e:  # noqa: BLE001 — report, don't lose evidence
+        import traceback
+
+        report["error"] = str(e)[:500]
+        report["traceback"] = traceback.format_exc()[-2000:]
+        rec = None
+    report["elapsed_s"] = round(time.time() - t0, 1)
+    report["stage_seconds"] = stage_timings
+
+    if rec is None:
+        report["reason"] = report.get("error", "no model")
+    else:
+        n_reg = rec.num_registered_images()
+        report.update(
+            num_registered=n_reg,
+            num_points3D=len(rec.points3D),
+            images_per_s=round(n_reg / max(report["elapsed_s"], 1e-9), 3),
+        )
+        res = compare_reconstructions(rec, gt)
+        if res is not None:
+            report["max_rotation_error_deg"] = round(
+                float(res["max_rotation_error_deg"]), 4)
+            report["max_center_error"] = round(
+                float(res["max_center_error"]), 5)
+            report["ok"] = bool(
+                report["max_rotation_error_deg"] <= args.max_rot_deg
+                and report["max_center_error"] <= args.max_center_err
+                and n_reg >= args.min_registered_ratio * args.num_images)
+        else:
+            report["reason"] = "alignment to GT failed"
+
+    with open(os.path.join(args.workspace, "report.json"), "w") as fp:
+        json.dump(report, fp, indent=2)
+    print(json.dumps(report))
+    return 0 if report["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

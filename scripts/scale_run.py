@@ -45,6 +45,10 @@ def main():
     p.add_argument("--max_center_err", type=float, default=0.05)
     p.add_argument("--min_registered_ratio", type=float, default=0.95)
     p.add_argument("--seed", type=int, default=3)
+    p.add_argument("--leaf_max_images", type=int, default=0,
+                   help="hierarchical mode: max images per cluster leaf "
+                        "(0 = library default; set below num_images to "
+                        "force a multi-cluster split + merge)")
     p.add_argument("--db_cache", default="",
                    help="path to an on-disk database: synthesized once, "
                         "reused by later runs (synthesis at 1000 images "
@@ -127,7 +131,13 @@ def main():
                 HierarchicalPipelineOptions,
             )
 
-            pipe = HierarchicalPipeline(db, HierarchicalPipelineOptions())
+            from colmap_tpu.scene import scene_clustering as sc
+
+            hopts = HierarchicalPipelineOptions()
+            if args.leaf_max_images > 0:
+                hopts.clustering = sc.SceneClusteringOptions(
+                    leaf_max_num_images=args.leaf_max_images)
+            pipe = HierarchicalPipeline(db, hopts)
             rec = pipe.run()
     except Exception as e:  # noqa: BLE001 — report, don't lose the evidence
         import traceback

@@ -82,3 +82,28 @@ def test_pixels_to_poses(room, tmp_path):
     # (benchmark_eth3d.py:168-171); room size is 4 units
     assert cmp["max_rotation_error_deg"] < 1.0, cmp
     assert cmp["max_center_error"] < 0.05 * 4.0, cmp
+
+
+def test_orbit_dataset_geometry():
+    """render_orbit_dataset (the 1000-image north-star scene,
+    scripts/full_scale_run.py): frames must be fully textured, the GT
+    depth must be consistent with the rendered geometry, and consecutive
+    frames must carry real baseline (the property the arc dataset lacks
+    at scale)."""
+    o = synth.OrbitDatasetOptions(num_images=6, width=320, height=240,
+                                  focal=280.0, texture_res=512, seed=3)
+    images, K, Rs, ts, deps = synth.render_orbit_dataset(o,
+                                                         return_depth=True)
+    assert len(images) == 6
+    for img, dep in zip(images, deps):
+        assert (img > 0).mean() > 0.95          # fully textured room
+        assert (dep > 0).mean() > 0.95          # surfaces everywhere
+        assert float(img.std()) > 20            # feature-rich texture
+        # the central box (near) and walls (far) both in frame
+        assert dep[dep > 0].min() < 0.8 * o.orbit_radius
+        assert dep.max() > 1.2 * o.orbit_radius
+    # consecutive-camera baseline = chord of the orbit circle
+    c0 = -Rs[0].T @ ts[0]
+    c1 = -Rs[1].T @ ts[1]
+    expected = 2 * o.orbit_radius * np.sin(np.pi * o.orbit_turns / 6)
+    np.testing.assert_allclose(np.linalg.norm(c1 - c0), expected, rtol=0.1)
