@@ -43,7 +43,7 @@ def build_db(num_images, seed):
     return db, gt
 
 
-def run_once(db, num_workers, leaf_max_images):
+def run_once(db, num_workers, leaf_max_images, return_rec=False):
     from colmap_tpu.controllers.hierarchical_pipeline import (
         HierarchicalPipeline,
         HierarchicalPipelineOptions,
@@ -57,6 +57,8 @@ def run_once(db, num_workers, leaf_max_images):
     rec = HierarchicalPipeline(db, opts).run()
     dt = time.time() - t0
     n_reg = 0 if rec is None else rec.num_registered_images()
+    if return_rec:
+        return dt, n_reg, rec
     return dt, n_reg
 
 
@@ -66,11 +68,46 @@ def main():
     p.add_argument("--leaf_max_images", type=int, default=60)
     p.add_argument("--seed", type=int, default=3)
     p.add_argument("--out", default=None)
+    p.add_argument("--quick", action="store_true",
+                   help="single workers=4 run + GT accuracy gate (no "
+                        "warm-up, no 1-vs-4 comparison): validates the "
+                        "registration/merge claim cheaply")
     args = p.parse_args()
 
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(levelname).1s %(message)s")
-    db, _ = build_db(args.num_images, args.seed)
+    db, gt = build_db(args.num_images, args.seed)
+
+    if args.quick:
+        import datetime
+
+        from colmap_tpu.estimators.similarity_transform import (
+            compare_reconstructions,
+        )
+
+        dt, n_reg, rec = run_once(db, 4, args.leaf_max_images,
+                                  return_rec=True)
+        report = {"self_reported": True,
+                  "produced_by": "python " + " ".join(sys.argv),
+                  "timestamp_utc": datetime.datetime.now(
+                      datetime.timezone.utc).isoformat(timespec="seconds"),
+                  "num_images": args.num_images,
+                  "leaf_max_images": args.leaf_max_images,
+                  "runs": {"workers=4": {"wall_s": round(dt, 1),
+                                         "num_registered": n_reg}}}
+        if rec is not None:
+            res = compare_reconstructions(rec, gt)
+            if res is not None:
+                report["max_rotation_error_deg"] = round(
+                    float(res["max_rotation_error_deg"]), 4)
+                report["max_center_error"] = round(
+                    float(res["max_center_error"]), 5)
+        report["ok"] = bool(n_reg >= 0.95 * args.num_images)
+        if args.out:
+            with open(args.out, "w") as fp:
+                json.dump(report, fp, indent=2)
+        print(json.dumps(report))
+        return
 
     # warm-up pass populates the jit cache so neither timed run pays
     # compile time (cross-run deltas would otherwise be compile noise)
