@@ -428,6 +428,10 @@ def main():
     #   DSLR_GATE.json  — DSLR-res accuracy gate
     #                     (scripts/benchmark_reconstruction.py --synthetic 20
     #                      --synthetic_width 1536 --synthetic_height 1152)
+    # Round-4 lesson: embedding the artifacts VERBATIM ballooned the JSON
+    # line past the driver's capture buffer and the round's record parsed
+    # as null. Embed COMPACT summaries only (full evidence stays in the
+    # named repo files) and enforce a hard size cap on the printed line.
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -436,33 +440,62 @@ def main():
         hits = sorted(glob.glob(os.path.join(here, pattern)))
         return hits[-1] if hits else None
 
+    KEEP = ("ok", "elapsed_s", "num_images", "num_registered",
+            "num_points3D", "images_per_s", "max_rotation_error_deg",
+            "max_center_error", "num_gt_images", "timestamp_utc")
+
+    def summarize(path):
+        with open(path) as fp:
+            blob = json.load(fp)
+        out = {k: blob[k] for k in KEEP if k in blob}
+        stages = blob.get("stage_seconds")
+        if isinstance(stages, dict) and stages:
+            top = sorted(stages.items(), key=lambda kv: -kv[1])[:3]
+            out["top_stages_s"] = {k: round(v, 1) for k, v in top}
+        for curve_key in ("ba", "matcher"):
+            c = blob.get(curve_key, {}).get("curve")
+            if isinstance(c, dict):
+                out[f"{curve_key}_rel_vs_1dev"] = {
+                    n: c[n].get("rel_vs_1dev") for n in sorted(c)}
+        out["self_reported"] = True
+        out["source_file"] = os.path.basename(path)
+        return out
+
     for key, path in (("scale_run_1000img", latest("SCALE_r*.json")),
                       ("e2e_scale_run", latest("E2E_SCALE_r*.json")),
                       ("device_scaling_curve", latest("SCALING_r*.json")),
                       ("dslr_accuracy_gate", latest("DSLR_GATE*.json"))):
         if path and os.path.exists(path):
             try:
-                with open(path) as fp:
-                    blob = json.load(fp)
-                blob.setdefault("self_reported", True)
-                blob.setdefault("source_file", os.path.basename(path))
-                results[key] = blob
+                results[key] = summarize(path)
             except Exception as e:
                 results[key] = {"error": str(e)[:100]}
 
     headline = results["ba_lm_iters_per_s_500cam_300kobs"]
-    print(
-        json.dumps(
-            {
-                "metric": "ba_lm_iters_per_s_500cam_300kobs",
-                "value": headline["value"],
-                "unit": headline["unit"],
-                "vs_baseline": headline["vs_baseline"],
-                "extra": {k: v for k, v in results.items()
-                          if k != "ba_lm_iters_per_s_500cam_300kobs"},
-            }
-        )
-    )
+    payload = {
+        "metric": "ba_lm_iters_per_s_500cam_300kobs",
+        "value": headline["value"],
+        "unit": headline["unit"],
+        "vs_baseline": headline["vs_baseline"],
+        "extra": {k: v for k, v in results.items()
+                  if k != "ba_lm_iters_per_s_500cam_300kobs"},
+    }
+    line = json.dumps(payload)
+    # hard cap: the driver records only the tail of stdout; a line that
+    # overruns it parses as null. Drop embedded summaries, then extras,
+    # until the line fits comfortably.
+    MAX_LEN = 3500
+    drop_order = ["device_scaling_curve", "e2e_scale_run",
+                  "scale_run_1000img", "dslr_accuracy_gate"]
+    while len(line) > MAX_LEN and drop_order:
+        k = drop_order.pop(0)
+        if k in payload["extra"]:
+            payload["extra"][k] = {"see": k, "dropped_for_size": True}
+        line = json.dumps(payload)
+    if len(line) > MAX_LEN:
+        payload["extra"] = {"dropped_for_size": True}
+        line = json.dumps(payload)
+    print(line)
 
 
 if __name__ == "__main__":

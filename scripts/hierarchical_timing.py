@@ -95,6 +95,7 @@ def main():
                   "leaf_max_images": args.leaf_max_images,
                   "runs": {"workers=4": {"wall_s": round(dt, 1),
                                          "num_registered": n_reg}}}
+        res = None
         if rec is not None:
             res = compare_reconstructions(rec, gt)
             if res is not None:
@@ -102,7 +103,13 @@ def main():
                     float(res["max_rotation_error_deg"]), 4)
                 report["max_center_error"] = round(
                     float(res["max_center_error"]), 5)
-        report["ok"] = bool(n_reg >= 0.95 * args.num_images)
+        # gate BOTH registration count and GT accuracy (reference CI
+        # thresholds, benchmark_eth3d.py:168-171): a misaligned merge must
+        # not report ok just because the images are nominally registered
+        acc_ok = (res is not None
+                  and res["max_rotation_error_deg"] <= 1.0
+                  and res["max_center_error"] <= 0.05)
+        report["ok"] = bool(n_reg >= 0.95 * args.num_images and acc_ok)
         if args.out:
             with open(args.out, "w") as fp:
                 json.dump(report, fp, indent=2)
