@@ -202,43 +202,52 @@ def match_pairs_batch_scan(b1: DescriptorBlock, b2: DescriptorBlock,
     return jnp.where(ok & b1.valid, idx, -1).astype(jnp.int32)
 
 
-_PALLAS_OK: dict = {}  # backend -> bool, probed once
+_PALLAS_OK: dict = {}  # (backend, bf16) -> bool, probed once
 
 
 def match_pairs_batch_auto(b1: DescriptorBlock, b2: DescriptorBlock,
                            options: MatchingOptions = MatchingOptions()
                            ) -> jax.Array:
     """Production dispatch on TPU: the Pallas fused matcher kernel —
-    A/B-measured 1.29x the tiled-scan XLA path at 16x4096^2 (2938 vs
-    2280 pairs/s device, 12.6 TFLOP/s; see PERF.md round 4). The tile's
+    A/B-measured over the tiled-scan XLA path (see PERF.md). The tile's
     similarities never leave VMEM and one sweep produces forward top-2 +
-    reverse argmax. Falls back to the scan matcher when the runtime's
-    Mosaic cannot compile the kernel (probed once per process; set
-    COLMAP_TPU_PALLAS_MATCHER=0 to force the scan path). Exact XLA
-    everywhere else or when the capacity isn't 128-tileable."""
+    reverse argmax. COLMAP_TPU_PALLAS_MATCHER selects the contraction:
+    "1" (default) = f32 MXU (exact, compiles on every probed runtime);
+    "bf16" = try the bf16 MXU kernel first (exact for centered uint8
+    descriptors and 4x the f32 MXU rate, but this runtime's Mosaic
+    rejects the lowering for the full production kernel — kept opt-in
+    until a runtime lowers it, so production never pays a failed-compile
+    probe); "0" = force the XLA scan matcher. Each variant is probed
+    once per process. Exact XLA everywhere else or when the capacity
+    isn't 128-tileable."""
     import os
 
     n, m = b1.centered.shape[1], b2.centered.shape[1]
     if (jax.default_backend() != "cpu"
             and n % 128 == 0 and m % 128 == 0):
-        want_pallas = os.environ.get("COLMAP_TPU_PALLAS_MATCHER", "1") != "0"
+        env = os.environ.get("COLMAP_TPU_PALLAS_MATCHER", "1")
         backend = jax.default_backend()
-        if want_pallas and _PALLAS_OK.get(backend, True):
+        if env != "0":
             from colmap_tpu.features.pallas_matcher import (
                 match_pairs_batch_pallas,
             )
 
-            try:
-                out = match_pairs_batch_pallas(b1, b2, options)
-                _PALLAS_OK[backend] = True
-                return out
-            except Exception:  # Mosaic support varies across runtimes
-                import logging
+            for bf16 in ((True, False) if env == "bf16" else (False,)):
+                if not _PALLAS_OK.get((backend, bf16), True):
+                    continue
+                try:
+                    out = match_pairs_batch_pallas(b1, b2, options,
+                                                   bf16_mxu=bf16)
+                    _PALLAS_OK[(backend, bf16)] = True
+                    return out
+                except Exception:  # Mosaic support varies across runtimes
+                    import logging
 
-                logging.getLogger("colmap_tpu").warning(
-                    "Pallas matcher failed to compile on %s; falling back "
-                    "to the XLA scan matcher for this process", backend)
-                _PALLAS_OK[backend] = False
+                    logging.getLogger("colmap_tpu").warning(
+                        "Pallas matcher (bf16=%s) failed to compile on %s; "
+                        "trying the next matcher path for this process",
+                        bf16, backend)
+                    _PALLAS_OK[(backend, bf16)] = False
         return match_pairs_batch_scan(b1, b2, options)
     return match_pairs_batch(b1, b2, options)
 

@@ -55,7 +55,7 @@ def _pack_meta(b: DescriptorBlock) -> jax.Array:
 
 
 def _matcher_kernel(c1_ref, c2_ref, m1_ref, m2_ref,
-                    fs_ref, fi_ref, rs_ref, ri_ref):
+                    fs_ref, fi_ref, rs_ref, ri_ref, *, bf16_mxu: bool):
     """Grid (B, N tiles, M tiles), M fastest.
 
     c1 tile (1, TN, 128) bf16; c2 tile (1, 128, TM) bf16 (pre-transposed —
@@ -71,15 +71,23 @@ def _matcher_kernel(c1_ref, c2_ref, m1_ref, m2_ref,
     tn = c1_ref.shape[1]
     tm = c2_ref.shape[2]
 
-    # centered int8 values are exact in any float type; this runtime's
-    # Mosaic rejects bf16 tpu.matmul ("Bad lhs type" through the axon
-    # remote compiler), so the contraction runs f32 x f32 -> f32 (exact:
-    # every term < 2^24). f32 MXU rate is 1/4 of bf16 peak — still ~4x
-    # the scan matcher's measured rate if the tile stays VMEM-resident.
-    dots = jax.lax.dot_general(
-        c1_ref[0].astype(jnp.float32), c2_ref[0].astype(jnp.float32),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)  # (TN, TM) exact f32
+    # centered int8 values are exact in ANY float type, and every 128-term
+    # product sum stays < 2^24, so both contraction modes are EXACT:
+    #   * bf16 x bf16 -> f32 runs the MXU at full bf16 rate (4x the f32
+    #     path) when this runtime's Mosaic lowers it;
+    #   * f32 x f32 -> f32 (1/4 peak) is the portable form (older Mosaic
+    #     rejected bf16 tpu.matmul with "Bad lhs type" through the axon
+    #     remote compiler — probed once per process in matching.py).
+    if bf16_mxu:
+        dots = jax.lax.dot_general(
+            c1_ref[0], c2_ref[0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (TN, TM) exact f32
+    else:
+        dots = jax.lax.dot_general(
+            c1_ref[0].astype(jnp.float32), c2_ref[0].astype(jnp.float32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (TN, TM) exact f32
 
     rs1 = m1_ref[0, 0, :]
     inv1 = m1_ref[0, 1, :]
@@ -137,9 +145,84 @@ def _matcher_kernel(c1_ref, c2_ref, m1_ref, m2_ref,
         ri_ref[0, t, 0, :] = jnp.where(col_best > prev_best, col_arg, prev_idx)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_n", "tile_m"))
+def _matcher_kernel_bf16(c1_ref, c2_ref, m1_ref, m2_ref,
+                         fs_ref, fi_ref, rs_ref, ri_ref):
+    """bf16 x bf16 -> f32 MXU variant of _matcher_kernel (exact for
+    centered uint8 descriptors: int values in [-128, 127] are bf16-exact
+    and every 128-term product sum stays < 2^24).
+
+    Semantically identical to _matcher_kernel; kept as a separate
+    function because this exact formulation is the one this runtime's
+    Mosaic lowers with a full-width bf16 matmul — the f32 kernel's body
+    compiled with a chunked accumulate form whose bf16 variant is
+    rejected ("Bad lhs type" through the axon remote compiler)."""
+    from jax.experimental import pallas as pl
+
+    i = pl.program_id(1)
+    t = pl.program_id(2)
+    tn = c1_ref.shape[1]
+    tm = c2_ref.shape[2]
+
+    sims = jax.lax.dot_general(
+        c1_ref[0], c2_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (TN, TM) exact f32
+    rs1 = m1_ref[0, 0, :]
+    inv1 = m1_ref[0, 1, :]
+    val1 = m1_ref[0, 2, :]
+    rs2 = m2_ref[0, 0, :]
+    inv2 = m2_ref[0, 1, :]
+    val2 = m2_ref[0, 2, :]
+    sims = (sims
+            + 128.0 * rs1[:, None] + 128.0 * rs2[None, :] - 128.0 ** 3)
+    sims = sims * (inv1[:, None] * inv2[None, :])
+
+    fsims = jnp.where(val2[None, :] > 0, sims, _NEG)
+    tb = jnp.max(fsims, axis=1)
+    ta = jnp.argmax(fsims, axis=1).astype(jnp.int32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, fsims.shape, 1)
+    ts_ = jnp.max(jnp.where(cols == ta[:, None], _NEG, fsims), axis=1)
+    rsims = jnp.where(val1[:, None] > 0, sims, _NEG)
+    colb = jnp.max(rsims, axis=0)
+    cola = jnp.argmax(rsims, axis=0).astype(jnp.int32)
+
+    ti = ta + t * tm
+
+    @pl.when(t == 0)
+    def _init_fwd():
+        fs_ref[0, 0, :] = tb
+        fs_ref[0, 1, :] = ts_
+        fi_ref[0, 0, :] = ti
+
+    @pl.when(t != 0)
+    def _merge_fwd():
+        cb = fs_ref[0, 0, :]
+        cs = fs_ref[0, 1, :]
+        ci = fi_ref[0, 0, :]
+        fs_ref[0, 0, :] = jnp.maximum(cb, tb)
+        fs_ref[0, 1, :] = jnp.maximum(jnp.minimum(cb, tb),
+                                      jnp.maximum(cs, ts_))
+        fi_ref[0, 0, :] = jnp.where(tb > cb, ti, ci)
+
+    cola_g = cola + i * tn
+
+    @pl.when(i == 0)
+    def _init_rev():
+        rs_ref[0, t, 0, :] = colb
+        ri_ref[0, t, 0, :] = cola_g
+
+    @pl.when(i != 0)
+    def _merge_rev():
+        pb = rs_ref[0, t, 0, :]
+        pi_ = ri_ref[0, t, 0, :]
+        rs_ref[0, t, 0, :] = jnp.maximum(pb, colb)
+        ri_ref[0, t, 0, :] = jnp.where(colb > pb, cola_g, pi_)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "tile_m", "bf16_mxu"))
 def _top2_fwd_rev_batch(b1: DescriptorBlock, b2: DescriptorBlock,
-                        tile_n: int = 1024, tile_m: int = 1024):
+                        tile_n: int = 1024, tile_m: int = 1024,
+                        bf16_mxu: bool = False):
     """One-sweep forward top-2 + reverse argmax for a batch of pairs.
 
     b1/b2 hold batched arrays: centered (B, N, 128), row_sum (B, N), ...
@@ -163,8 +246,10 @@ def _top2_fwd_rev_batch(b1: DescriptorBlock, b2: DescriptorBlock,
     c1 = b1.centered.astype(jnp.bfloat16)
     c2t = jnp.swapaxes(b2.centered.astype(jnp.bfloat16), 1, 2)  # (B, 128, M)
 
+    kernel = (_matcher_kernel_bf16 if bf16_mxu
+              else functools.partial(_matcher_kernel, bf16_mxu=False))
     fs, fi, rs, ri = pl.pallas_call(
-        _matcher_kernel,
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, tile_n, 128), lambda b, i, t: (b, i, 0),
@@ -198,18 +283,21 @@ def _top2_fwd_rev_batch(b1: DescriptorBlock, b2: DescriptorBlock,
     return fs[:, 0], fs[:, 1], fi[:, 0], rev_best, rev_idx
 
 
-@functools.partial(jax.jit, static_argnames=("options", "tile_n", "tile_m"))
+@functools.partial(jax.jit,
+                   static_argnames=("options", "tile_n", "tile_m",
+                                    "bf16_mxu"))
 def match_pairs_batch_pallas(b1: DescriptorBlock, b2: DescriptorBlock,
                              options: MatchingOptions = MatchingOptions(),
                              tile_n: int = 1024,
-                             tile_m: int = 1024) -> jax.Array:
+                             tile_m: int = 1024,
+                             bf16_mxu: bool = False) -> jax.Array:
     """Pair-batched drop-in for matching.match_pairs_batch on TPU.
 
     b1/b2 hold batched arrays: centered (B, N, 128), row_sum (B, N), ...
     Returns (B, N) int32 match indices into b2 (-1 = none).
     """
     best, second, idx, rbest, ridx = _top2_fwd_rev_batch(
-        b1, b2, tile_n=tile_n, tile_m=tile_m)
+        b1, b2, tile_n=tile_n, tile_m=tile_m, bf16_mxu=bf16_mxu)
     best_dist = jnp.arccos(jnp.clip(best, -1.0, 1.0))
     second_dist = jnp.arccos(jnp.clip(second, -1.0, 1.0))
     ok = best > -1e20

@@ -162,8 +162,9 @@ def main():
         }
         print(f"matcher n={n}: {r:.2f} pairs/s", flush=True)
 
-    out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "SCALING_r04.json")
+    out = sys.argv[sys.argv.index("--out") + 1] if "--out" in sys.argv \
+        else os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "SCALING_r05.json")
     with open(out, "w") as fp:
         json.dump(report, fp, indent=2)
     print(json.dumps(report))
