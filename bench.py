@@ -360,7 +360,34 @@ def bench_mapping(num_images=200):
                 cold_img_per_s=n_cold / cold_s, n_reg=n_reg)
 
 
+def _wait_for_healthy_backend(max_probes=4, probe_timeout_s=75):
+    """The tunneled TPU worker occasionally wedges its execute path (ops
+    hang indefinitely while device enumeration still works). Probe with a
+    REAL op in a subprocess (a hung in-process jax call cannot be timed
+    out) and wait briefly for recovery, so a driver-run bench doesn't
+    hang forever on the first device op. Proceeds regardless after the
+    probe budget — a late hang is still better than silently skipping."""
+    import subprocess
+    import sys
+
+    probe = ("import jax, jax.numpy as jnp; jax.devices(); "
+             "assert float(jnp.ones((128,128)).sum()) == 16384.0; "
+             "print('TPU-OK')")
+    for attempt in range(max_probes):
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               capture_output=True, text=True,
+                               timeout=probe_timeout_s)
+            if "TPU-OK" in r.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        time.sleep(30)
+    return False
+
+
 def main():
+    _wait_for_healthy_backend()
     results = {}
     ba_res = bench_ba()
     results["ba_lm_iters_per_s_500cam_300kobs"] = dict(

@@ -41,6 +41,15 @@ class IncrementalPipelineOptions:
     min_num_matches: int = 15
     ba_global_images_ratio: float = 1.1  # reference growth trigger
     ba_global_points_ratio: float = 1.1
+    # TPU-design deviation from the reference's flat 1.1 cadence: above
+    # `ba_global_coarse_cadence_size` images the growth ratio relaxes to
+    # `ba_global_images_ratio_large`. Early refinements (where drift
+    # accumulates fastest per image) keep the tight cadence; at scale each
+    # full-model BA costs O(model) on one chip and the final refinement
+    # (always run, at 1e-6) bounds end accuracy. Set
+    # ba_global_images_ratio_large=1.1 for strict reference cadence.
+    ba_global_images_ratio_large: float = 1.2
+    ba_global_coarse_cadence_size: int = 500
     ba_refine_focal_length: bool = True
     ba_refine_extra_params: bool = True
     min_model_size: int = 3
@@ -57,6 +66,12 @@ class IncrementalPipelineOptions:
     # (reference: ba_global_max_refinements / ba_global_max_refinement_change)
     ba_global_max_refinements: int = 5
     ba_global_max_refinement_change: float = 0.0005
+    # LM early-exit tolerance for INTERMEDIATE growth-triggered global BAs
+    # (the final refinement always runs at 1e-6). The outer refinement loop
+    # retriangulates + re-solves anyway, so converging intermediates to
+    # 1e-6 is wasted work — measured 8.8 avg LM iters/BA at 1e-6 vs ~3 at
+    # 1e-4 with identical end accuracy (see PERF.md round 5)
+    ba_global_intermediate_function_tolerance: float = 1e-4
     # snapshots (reference: snapshot_path / snapshot_images_freq)
     snapshot_path: Optional[str] = None
     snapshot_images_freq: int = 0
@@ -171,10 +186,15 @@ class IncrementalPipeline(BaseController):
                 last_snapshot = self._maybe_snapshot(mapper, last_snapshot)
                 n_img = len(mapper.registered)
                 n_pts = max(mapper.num_points3D(), 1)
-                if (n_img > self.options.ba_global_images_ratio
-                        * last_global_images
-                        or n_pts > self.options.ba_global_points_ratio
-                        * last_global_points):
+                large = n_img >= self.options.ba_global_coarse_cadence_size
+                img_ratio = (self.options.ba_global_images_ratio_large
+                             if large else
+                             self.options.ba_global_images_ratio)
+                pts_ratio = (self.options.ba_global_images_ratio_large
+                             if large else
+                             self.options.ba_global_points_ratio)
+                if (n_img > img_ratio * last_global_images
+                        or n_pts > pts_ratio * last_global_points):
                     self._global_refinement(mapper)
                     last_global_images = n_img
                     last_global_points = mapper.num_points3D()
@@ -194,6 +214,11 @@ class IncrementalPipeline(BaseController):
             self._global_refinement(mapper, final=True)
         except Exception as e:
             self._capture_failure(mapper, e, retries=-1)
+        # fold the mapper's fine-grained global-BA phase timers into the
+        # stage report (they sub-divide the global_ba stage, so the report
+        # shows where the dominant stage's time actually goes)
+        for k, v in getattr(mapper, "prof", {}).items():
+            self.stage_s[k] += v
         if os.environ.get("COLMAP_TPU_PROFILE"):
             total = sum(self.stage_s.values())
             logger.warning("stage timings (%.1fs total): %s", total,
@@ -310,7 +335,10 @@ class IncrementalPipeline(BaseController):
             self._timed(
                 "global_ba", mapper.adjust_global_bundle,
                 refine_intrinsics=(self.options.ba_refine_focal_length
-                                   and n_img >= 8))
+                                   and n_img >= 8),
+                function_tolerance=(
+                    None if final else self.options
+                    .ba_global_intermediate_function_tolerance))
             logger.info("global BA at %d images: %.2fs (%d obs)",
                         n_img, time.perf_counter() - t_ba,
                         int((mapper._obs_pid[: mapper._num_obs] >= 0).sum()))

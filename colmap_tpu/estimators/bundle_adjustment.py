@@ -653,7 +653,7 @@ def lm_step(state: LMState, options: BAOptions, axis_name: Optional[str] = None,
 
 def run_lm(state: LMState, options: BAOptions,
            axis_name: Optional[str] = None,
-           max_iters=None, cg_iters=None) -> LMState:
+           max_iters=None, cg_iters=None, function_tol=None) -> LMState:
     """The LM iteration loop (traceable; shared by solve/solve_distributed).
 
     With function_tolerance > 0 this is a while_loop that exits as soon as
@@ -662,11 +662,11 @@ def run_lm(state: LMState, options: BAOptions,
     function_tolerance termination, and the main reason intermediate global
     BAs inside the mapper are cheap once the model is nearly converged.
 
-    `max_iters` / `cg_iters` optionally override the corresponding
-    options fields with TRACED scalars, keeping the iteration budget out
-    of the program hash (one compiled BA program per shape class instead
-    of one per (shape, budget) pair — host tracing through the tunnel is
-    ~100s of ms per program).
+    `max_iters` / `cg_iters` / `function_tol` optionally override the
+    corresponding options fields with TRACED scalars, keeping the
+    iteration budget and tolerance out of the program hash (one compiled
+    BA program per shape class instead of one per (shape, budget) pair —
+    host tracing through the tunnel is ~100s of ms per program).
     """
     mi = options.max_iterations if max_iters is None else max_iters
     if options.function_tolerance <= 0:
@@ -675,7 +675,7 @@ def run_lm(state: LMState, options: BAOptions,
 
         return jax.lax.fori_loop(0, mi, body, state)
 
-    tol = options.function_tolerance
+    tol = options.function_tolerance if function_tol is None else function_tol
     if state.rel_change is None:
         state = state._replace(
             rel_change=jnp.asarray(jnp.inf, state.cost.dtype))

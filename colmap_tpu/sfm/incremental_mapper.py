@@ -28,6 +28,8 @@ programs stay warm across rounds.
 from __future__ import annotations
 
 import dataclasses
+import os
+import time
 from functools import partial
 from typing import Dict, List, Optional, Sequence, Set, Tuple
 
@@ -205,21 +207,32 @@ def _solve_packed(problem, options: ba.BAOptions):
                             pr.points.reshape(-1)])
 
 
+_BA_STATS = bool(os.environ.get("COLMAP_TPU_BA_STATS"))
+
+
 @partial(jax.jit, static_argnames=("meta", "options"))
-def _solve_packed_buffers(fbuf, ibuf, iters, meta: ba.PackedMeta,
+def _solve_packed_buffers(fbuf, ibuf, iters, ftol, meta: ba.PackedMeta,
                           options: ba.BAOptions):
     """BA solve over the two-buffer problem encoding: the whole problem
     ships as ONE f32 + ONE i32 upload (instead of ~16 per-field transfers,
     each a ~65 ms tunnel round trip) and the result comes back as one
     packed vector. `iters` = dynamic (max_lm_iters, cg_iters) so local /
     global / final BAs that differ only in iteration budget share one
-    compiled program per shape class (host tracing is per program)."""
+    compiled program per shape class (host tracing is per program).
+
+    COLMAP_TPU_BA_STATS=1 appends the LM iteration count actually run to
+    the packed result (diagnostics; changes the program shape, so it is
+    opt-in to keep the TPU persistent-cache programs stable)."""
     problem = ba.unflatten_problem(fbuf, ibuf, meta)
     state = ba.run_lm(ba.init_state(problem, options), options,
-                      max_iters=iters[0], cg_iters=iters[1])
+                      max_iters=iters[0], cg_iters=iters[1],
+                      function_tol=ftol)
     pr = state.problem
-    return jnp.concatenate([pr.poses.reshape(-1), pr.cam_params.reshape(-1),
-                            pr.points.reshape(-1)])
+    out = [pr.poses.reshape(-1), pr.cam_params.reshape(-1),
+           pr.points.reshape(-1)]
+    if _BA_STATS:
+        out.append(state.iteration.reshape(1).astype(pr.poses.dtype))
+    return jnp.concatenate(out)
 
 
 # ---------------------------------------------------------------------------
@@ -260,6 +273,12 @@ class IncrementalMapper:
                  seed: int = 0):
         self.cache = cache
         self.options = options
+        # fine-grained global-BA phase seconds (build/flatten/solve/apply)
+        # — surfaced by the pipeline's stage report to localize where the
+        # dominant stage's time actually goes
+        from collections import defaultdict
+
+        self.prof = defaultdict(float)
         self.rec = Reconstruction()
         for cam in cache.cameras.values():
             # deep-copy: BA refines rec camera params in place; the cache
@@ -1573,20 +1592,36 @@ class IncrementalMapper:
         iters = np.array([ba_options.max_iterations,
                           ba_options.cg_iterations], np.int32)
         static_opts = dataclasses.replace(ba_options, max_iterations=50,
-                                          cg_iterations=30)
+                                          cg_iterations=30,
+                                          function_tolerance=1e-6)
         fbuf, ibuf, meta = ba.flatten_problem(problem,
                                               device_layouts=True)
-        flat = _solve_packed_buffers(fbuf, ibuf, iters, meta, static_opts)
+        flat = _solve_packed_buffers(
+            fbuf, ibuf, iters,
+            np.float32(ba_options.function_tolerance), meta, static_opts)
+        if _BA_STATS:
+            flat = np.asarray(flat)
+            self.prof["lba_lm_iters"] += float(flat[-1])
+            self.prof["lba_calls"] += 1
+            flat = flat[:-1]
         self._apply_ba_result(flat, all_imgs, pids, cams,
                               shapes=(meta.P, meta.C))
         return pids
 
     def adjust_global_bundle(self, refine_intrinsics: bool = False,
-                             ba_options: Optional[ba.BAOptions] = None):
+                             ba_options: Optional[ba.BAOptions] = None,
+                             function_tolerance: Optional[float] = None):
+        """`function_tolerance` overrides the LM early-exit tolerance as a
+        DYNAMIC scalar (no recompile): intermediate growth-triggered global
+        BAs converge to ~1e-4 (the outer refinement loop re-triangulates
+        and re-runs anyway; over-solving them to 1e-6 was ~45%% of the
+        whole 1000-image reconstruction), the final refinement to 1e-6."""
+        t0 = time.perf_counter()
         problem, all_imgs, pids, cams = self._build_ba_problem(
             list(self.registered), fix_extra_images=False,
             refine_intrinsics=refine_intrinsics,
         )
+        self.prof["gba_build"] += time.perf_counter() - t0
         if problem is None:
             return
         # gauge: fix first pose entirely + second pose tx (padding rows of
@@ -1600,15 +1635,25 @@ class IncrementalMapper:
         if ba_options is None:
             cam0 = self.rec.cameras[int(self._cam_of_row[
                 self._row_of[self.registered[0]]])]
+            intermediate = function_tolerance is not None
             ba_options = ba.BAOptions(
-                max_iterations=30,
-                cg_iterations=25,
+                # intermediates run a looser regime (the outer refinement
+                # loop re-triangulates and re-solves; the final refinement
+                # gets the full budget at 1e-6) — both budgets ride as
+                # traced scalars, same compiled program
+                max_iterations=30 if intermediate else 50,
+                cg_iterations=15 if intermediate else 25,
                 loss="cauchy",
                 loss_scale=1.0,
                 camera_model_id=cam0.model_id,
                 refine_intrinsics=refine_intrinsics,
+                function_tolerance=(1e-6 if function_tolerance is None
+                                    else float(function_tolerance)),
                 cg_tolerance=0.1,  # ceres eta default for ITERATIVE_SCHUR
             )
+        elif function_tolerance is not None:
+            ba_options = dataclasses.replace(
+                ba_options, function_tolerance=float(function_tolerance))
         # multi-device: route through the pose-sharded distributed solver
         # (product path of the reference's multi-GPU distribution — the
         # TPU build distributes its hottest stage, global BA, over the
@@ -1640,13 +1685,27 @@ class IncrementalMapper:
         iters = np.array([ba_options.max_iterations,
                           ba_options.cg_iterations], np.int32)
         static_opts = dataclasses.replace(ba_options, max_iterations=50,
-                                          cg_iterations=30)
+                                          cg_iterations=30,
+                                          function_tolerance=1e-6)
+        t0 = time.perf_counter()
         fbuf, ibuf, meta = ba.flatten_problem(problem,
                                               device_layouts=True)
-        flat = _solve_packed_buffers(fbuf, ibuf, iters, meta, static_opts)
+        self.prof["gba_flatten"] += time.perf_counter() - t0
+        t0 = time.perf_counter()
+        flat = _solve_packed_buffers(
+            fbuf, ibuf, iters,
+            np.float32(ba_options.function_tolerance), meta, static_opts)
+        flat = np.asarray(flat)  # block here: charge device time to solve
+        self.prof["gba_solve"] += time.perf_counter() - t0
+        self.prof["gba_calls"] += 1
+        if _BA_STATS:
+            self.prof["gba_lm_iters"] += float(flat[-1])
+            flat = flat[:-1]
+        t0 = time.perf_counter()
         self._apply_ba_result(flat, all_imgs, pids, cams,
                               update_intrinsics=refine_intrinsics,
                               shapes=(meta.P, meta.C))
+        self.prof["gba_apply"] += time.perf_counter() - t0
         if refine_intrinsics:
             self.invalidate_focal_cache()
 

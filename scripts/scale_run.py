@@ -29,7 +29,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def _maybe_force_cpu():
+    """SCALE_RUN_CPU=1 pins the run to the local CPU backend (profiling
+    the host-side phases while the tunneled TPU is unavailable).
+    sitecustomize imports jax with JAX_PLATFORMS=axon already captured,
+    so the env var alone does not stick — config.update overrides the
+    frozen snapshot (same pattern as tests/conftest.py)."""
+    if os.environ.get("SCALE_RUN_CPU"):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
 def main():
+    _maybe_force_cpu()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--num_images", type=int, default=1000)
     p.add_argument("--points_per_image", type=int, default=20)
