@@ -23,6 +23,17 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _maybe_force_cpu():
+    """SCALE_RUN_CPU=1 pins the local CPU backend (correctness validation
+    while the tunneled TPU is busy/unavailable); see scripts/scale_run.py."""
+    if os.environ.get("SCALE_RUN_CPU"):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
 def build_db(num_images, seed):
     from colmap_tpu.scene.database import Database
     from colmap_tpu.scene.synthetic import (
@@ -63,6 +74,7 @@ def run_once(db, num_workers, leaf_max_images, return_rec=False):
 
 
 def main():
+    _maybe_force_cpu()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--num_images", type=int, default=200)
     p.add_argument("--leaf_max_images", type=int, default=60)
