@@ -128,6 +128,15 @@ def run_feature_extraction(
     for name in names:
         if controller is not None and controller.check_if_stopped():
             break
+        n_existing = (database.num_keypoints(existing[name])
+                      if name in existing else 0)
+        if n_existing > 0:
+            # resume: skip images whose features are already in the DB
+            # (reference: feature_extraction.cc skips existing features)
+            image_id = existing[name]
+            image_ids.append(image_id)
+            num_features[image_id] = n_existing
+            continue
         bmp = bitmap_mod.read_bitmap(os.path.join(image_dir, name))
 
         if name in existing:

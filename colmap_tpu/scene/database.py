@@ -188,6 +188,15 @@ class Database:
             (image_id, kp.shape[0], kp.shape[1] if kp.ndim > 1 else 0, kp.tobytes()),
         )
 
+    def num_keypoints(self, image_id: int) -> int:
+        """Stored keypoint count, 0 if absent (extraction resume:
+        reference feature_extraction.cc skips images with existing
+        features)."""
+        row = self.conn.execute(
+            "SELECT rows FROM keypoints WHERE image_id = ?",
+            (int(image_id),)).fetchone()
+        return int(row[0]) if row is not None else 0
+
     def read_keypoints(self, image_id: int) -> Optional[np.ndarray]:
         row = self.conn.execute(
             "SELECT rows, cols, data FROM keypoints WHERE image_id=?", (image_id,)
