@@ -87,11 +87,23 @@ def hierarchical_kmeans(rng: np.random.Generator, points: np.ndarray,
             import jax.numpy as jnp_
 
             key = jax.random.PRNGKey(int(rng.integers(0, 2**31)))
-            cap = len(pts)
+            # pad each node's points to a pow2 bucket: per-node exact
+            # shapes meant one FRESH compile per node (273 nodes at
+            # branching 16 / depth 3) — 30-75 s each through the remote
+            # compiler, hours of compile for one vocab build. Bucketing
+            # collapses the build to ~10 programs, all persistently
+            # cached.
+            n_pts = len(pts)
+            cap = 1 << max(5, (n_pts - 1).bit_length())
+            pts_p = np.zeros((cap, d), np.float32)
+            pts_p[:n_pts] = pts
+            valid = np.zeros(cap, bool)
+            valid[:n_pts] = True
             centers, assign = kmeans(
-                key, jnp_.asarray(pts), jnp_.ones(cap, bool),
-                min(branching, cap), 15)
+                key, jnp_.asarray(pts_p), jnp_.asarray(valid),
+                min(branching, n_pts), 15)
             centers = np.asarray(centers)
+            assign = np.asarray(assign)[:n_pts]
             if len(centers) < branching:
                 centers = np.concatenate(
                     [centers, np.tile(centers[-1:], (branching - len(centers), 1))])
@@ -102,18 +114,34 @@ def hierarchical_kmeans(rng: np.random.Generator, points: np.ndarray,
     return levels
 
 
+@functools.partial(jax.jit, static_argnums=(2,))
+def _quantize_padded(x, levels, branching: int):
+    """Jitted full-tree descent over a pow2-padded descriptor block."""
+    node = jnp.zeros(x.shape[0], jnp.int32)
+
+    for table in levels:
+        centers = table[node]  # [N, branching, D]
+        d2 = jnp.sum((x[:, None, :] - centers) ** 2, axis=-1)
+        child = jnp.argmin(d2, axis=1).astype(jnp.int32)
+        node = node * branching + child
+    return node
+
+
 def quantize(levels, descriptors: np.ndarray) -> np.ndarray:
     """Descend the tree; returns leaf word ids [N].
 
-    Each level is one batched distance computation against the gathered
-    child centers of the current node (GEMM-shaped: [N, branching, D]).
+    One jitted program for the whole descent, with N padded to a pow2
+    bucket — per-call exact shapes previously compiled fresh eager
+    programs for every distinct descriptor count (one compile storm per
+    indexed image through the remote compiler).
     """
-    node = np.zeros(len(descriptors), np.int64)
-    x = jnp.asarray(descriptors, jnp.float32)
-    for table in levels:
-        t = jnp.asarray(table)  # [nodes, branching, D]
-        centers = t[jnp.asarray(node)]  # [N, branching, D]
-        d2 = jnp.sum((x[:, None, :] - centers) ** 2, axis=-1)
-        child = np.asarray(jnp.argmin(d2, axis=1))
-        node = node * table.shape[1] + child
-    return node
+    n = len(descriptors)
+    if n == 0:
+        return np.zeros(0, np.int64)
+    cap = 1 << max(7, (n - 1).bit_length())
+    x = np.zeros((cap, descriptors.shape[1]), np.float32)
+    x[:n] = descriptors
+    node = _quantize_padded(jnp.asarray(x),
+                            tuple(jnp.asarray(t) for t in levels),
+                            int(levels[0].shape[1]))
+    return np.asarray(node[:n]).astype(np.int64)
