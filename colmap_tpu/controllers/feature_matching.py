@@ -19,7 +19,9 @@ The pair-block axis is the sharding axis for multi-chip matching.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import logging
+import time
 from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
 import jax
@@ -94,6 +96,123 @@ def _pad_to(arr: np.ndarray, cap: int) -> Tuple[np.ndarray, np.ndarray]:
     return out, valid
 
 
+# ---------------------------------------------------------------------------
+# device-resident descriptor pool
+#
+# SiftMatchGPU keeps descriptors device-resident and matches pairs without
+# re-uploading (thirdparty/SiftGPU/SiftMatchCU.cpp); the host-side analog is
+# FeatureMatcherCache (feature/matcher.h:73). The TPU design is a pooled
+# DescriptorBlock with a leading slot axis: each image's prepared
+# descriptors upload ONCE (one fused prepare+scatter program), and each
+# pair block is ONE program that gathers both sides from the pool and runs
+# the batched matcher — host->device traffic per block drops from
+# 2 x B x cap x 128 descriptor bytes to two B-length index vectors.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+def _pool_add(centered, row_sum, inv_norm, valid, desc_u8, new_valid, slots):
+    """Prepare raw uint8 descriptors and scatter them into pool rows."""
+    di = desc_u8.astype(jnp.int32)
+    rs = jnp.sum(di, axis=-1).astype(jnp.float32)
+    sq = jnp.sum(di * di, axis=-1).astype(jnp.float32)
+    inv = 1.0 / jnp.sqrt(jnp.maximum(sq, 1e-12))
+    cen = (di - 128).astype(jnp.int8)
+    return (centered.at[slots].set(cen),
+            row_sum.at[slots].set(rs),
+            inv_norm.at[slots].set(inv),
+            valid.at[slots].set(new_valid))
+
+
+@functools.partial(jax.jit, static_argnames=("options", "use_pallas"))
+def _match_from_pool(centered, row_sum, inv_norm, valid, idx1, idx2,
+                     options, use_pallas: bool):
+    """Gather both pair sides from the pool and match — one program."""
+    def side(idx):
+        return matching_mod.DescriptorBlock(
+            centered=centered[idx], row_sum=row_sum[idx],
+            inv_norm=inv_norm[idx], valid=valid[idx])
+
+    b1, b2 = side(idx1), side(idx2)
+    if use_pallas:
+        from colmap_tpu.features.pallas_matcher import match_pairs_batch_pallas
+
+        return match_pairs_batch_pallas(b1, b2, options)
+    return matching_mod.match_pairs_batch_scan(b1, b2, options)
+
+
+class _DevicePool:
+    """Slot-addressed device pool of prepared descriptor blocks."""
+
+    def __init__(self, cap: int, pool_size: int = 1024,
+                 add_bucket: int = 32):
+        self.cap = cap
+        self.size = pool_size
+        self.add_bucket = add_bucket
+        self.slot_of: Dict[int, int] = {}
+        self._fifo: List[int] = []  # image ids in slot-assignment order
+        self._next = 0
+        self.centered = jnp.zeros((pool_size, cap, 128), jnp.int8)
+        self.row_sum = jnp.zeros((pool_size, cap), jnp.float32)
+        self.inv_norm = jnp.zeros((pool_size, cap), jnp.float32)
+        self.valid = jnp.zeros((pool_size, cap), bool)
+
+    def ensure(self, image_ids: Sequence[int], data: "_ImageData"):
+        """Upload any images not yet pooled (one fused program per
+        add_bucket of new images)."""
+        missing = [i for i in dict.fromkeys(image_ids)
+                   if i not in self.slot_of]
+        for start in range(0, len(missing), self.add_bucket):
+            chunk = missing[start: start + self.add_bucket]
+            m = len(chunk)
+            mb = self.add_bucket
+            desc = np.zeros((mb, self.cap, 128), np.uint8)
+            val = np.zeros((mb, self.cap), bool)
+            slots = np.zeros(mb, np.int32)
+            for k, iid in enumerate(chunk):
+                d = data.get(iid)["desc"]
+                n = min(len(d), self.cap)
+                desc[k, :n] = d[:n]
+                val[k, :n] = True
+                if self._next >= self.size:  # FIFO eviction
+                    old = self._fifo.pop(0)
+                    slots[k] = self.slot_of.pop(old)
+                else:
+                    slots[k] = self._next
+                    self._next += 1
+                self.slot_of[iid] = int(slots[k])
+                self._fifo.append(iid)
+            # pad the bucket by repeating the last real entry (duplicate
+            # identical writes to the same slot are harmless)
+            for k in range(m, mb):
+                desc[k] = desc[m - 1]
+                val[k] = val[m - 1]
+                slots[k] = slots[m - 1]
+            self.centered, self.row_sum, self.inv_norm, self.valid = \
+                _pool_add(self.centered, self.row_sum, self.inv_norm,
+                          self.valid, jnp.asarray(desc), jnp.asarray(val),
+                          jnp.asarray(slots))
+
+    def match_block(self, block: Sequence[Tuple[int, int]], B_full: int,
+                    options: matching_mod.MatchingOptions,
+                    use_pallas: bool) -> np.ndarray:
+        idx1 = np.zeros(B_full, np.int32)
+        idx2 = np.zeros(B_full, np.int32)
+        for i, (a, b) in enumerate(block):
+            idx1[i] = self.slot_of[a]
+            idx2[i] = self.slot_of[b]
+        return np.asarray(_match_from_pool(
+            self.centered, self.row_sum, self.inv_norm, self.valid,
+            jnp.asarray(idx1), jnp.asarray(idx2), options, use_pallas))
+
+    def block_view(self, image_id: int) -> matching_mod.DescriptorBlock:
+        """Single-image DescriptorBlock view (guided matching)."""
+        s = self.slot_of[image_id]
+        return matching_mod.DescriptorBlock(
+            centered=self.centered[s], row_sum=self.row_sum[s],
+            inv_norm=self.inv_norm[s], valid=self.valid[s])
+
+
 @dataclasses.dataclass
 class MatchingStats:
     num_matched_pairs: int = 0
@@ -116,6 +235,8 @@ def match_and_verify_blocks(
     data = _ImageData(database, cameras)
     cap = options.feature_capacity
     stats = MatchingStats()
+    pool: Optional[_DevicePool] = None
+    use_pallas: Optional[bool] = None
     key = jax.random.PRNGKey(seed)
 
     match_opts = options.matching
@@ -163,26 +284,60 @@ def match_and_verify_blocks(
         if n_dev > 1:
             B_full = -(-len(block) // n_dev) * n_dev
         # ---- batched matching over the block ----
-        d1 = np.zeros((B_full, cap, 128), np.uint8)
-        d2 = np.zeros_like(d1)
-        v1 = np.zeros((B_full, cap), bool)
-        v2 = np.zeros_like(v1)
-        for i, (a, b) in enumerate(block):
-            da = data.get(a)["desc"]
-            db_ = data.get(b)["desc"]
-            d1[i, :min(len(da), cap)] = da[:cap]
-            d2[i, :min(len(db_), cap)] = db_[:cap]
-            v1[i, :min(len(da), cap)] = True
-            v2[i, :min(len(db_), cap)] = True
-        b1 = matching_mod.prepare_descriptors(
-            d1.reshape(-1, 128), v1.reshape(-1))
-        b1 = jax.tree.map(lambda x: x.reshape((B_full, cap) + x.shape[1:]), b1)
-        b2 = matching_mod.prepare_descriptors(
-            d2.reshape(-1, 128), v2.reshape(-1))
-        b2 = jax.tree.map(lambda x: x.reshape((B_full, cap) + x.shape[1:]), b2)
-        b1, b2 = put(b1), put(b2)
-        midx = np.asarray(matching_mod.match_pairs_batch_auto(
-            b1, b2, match_opts))
+        # per-block pow2 capacity: the GEMM cost is quadratic in the
+        # capacity, so padding ~800-feature images to the static 8192
+        # ceiling wastes ~100x MXU work; the pow2 ladder keeps the
+        # number of compiled programs logarithmic
+        t_block = time.perf_counter()
+        n_max = max((len(data.get(im)["desc"]) for ab in block for im in ab),
+                    default=1)
+        cap = min(options.feature_capacity,
+                  1 << max(8, int(n_max - 1).bit_length()))
+        b1 = b2 = None
+        if n_dev == 1:
+            # single-device: device-resident descriptor pool (upload each
+            # image once; the pair block gathers from the pool on device)
+            if pool is None or pool.cap < cap:
+                pool = _DevicePool(cap, pool_size=1024)
+            pool.ensure([im for ab in block for im in ab], data)
+            if use_pallas is None:
+                import os
+
+                use_pallas = (jax.default_backend() != "cpu"
+                              and os.environ.get(
+                                  "COLMAP_TPU_PALLAS_MATCHER", "1") != "0")
+                if use_pallas:
+                    try:
+                        pool.match_block(block[:1], 1, match_opts, True)
+                    except Exception:
+                        logger.warning("Pallas matcher unavailable; using "
+                                       "the XLA scan matcher")
+                        use_pallas = False
+            midx = pool.match_block(block, B_full, match_opts, use_pallas)
+        else:
+            d1 = np.zeros((B_full, cap, 128), np.uint8)
+            d2 = np.zeros_like(d1)
+            v1 = np.zeros((B_full, cap), bool)
+            v2 = np.zeros_like(v1)
+            for i, (a, b) in enumerate(block):
+                da = data.get(a)["desc"]
+                db_ = data.get(b)["desc"]
+                d1[i, :min(len(da), cap)] = da[:cap]
+                d2[i, :min(len(db_), cap)] = db_[:cap]
+                v1[i, :min(len(da), cap)] = True
+                v2[i, :min(len(db_), cap)] = True
+            b1 = matching_mod.prepare_descriptors(
+                d1.reshape(-1, 128), v1.reshape(-1))
+            b1 = jax.tree.map(
+                lambda x: x.reshape((B_full, cap) + x.shape[1:]), b1)
+            b2 = matching_mod.prepare_descriptors(
+                d2.reshape(-1, 128), v2.reshape(-1))
+            b2 = jax.tree.map(
+                lambda x: x.reshape((B_full, cap) + x.shape[1:]), b2)
+            b1, b2 = put(b1), put(b2)
+            midx = np.asarray(matching_mod.match_pairs_batch_auto(
+                b1, b2, match_opts))
+        t_match = time.perf_counter()
 
         # ---- collect per-pair correspondences (host) ----
         pair_matches = []
@@ -232,6 +387,10 @@ def match_and_verify_blocks(
                                  jnp.asarray(focal), jnp.asarray(sizes1),
                                  jnp.asarray(sizes2))))
         res = jax.tree.map(np.asarray, res)
+        t_verify = time.perf_counter()
+        logger.info(
+            "pair block: %d pairs cap %d (match %.2fs, verify %.2fs)",
+            len(block), cap, t_match - t_block, t_verify - t_match)
 
         # optional guided matching: re-match with the epipolar constraint
         # (reference: guided_matcher workers, feature_matching_utils.cc)
@@ -245,9 +404,12 @@ def match_and_verify_blocks(
                 xy2 = np.zeros((cap, 2), np.float32)
                 xy1[: min(len(da["xy"]), cap)] = da["xy"][:cap]
                 xy2[: min(len(db_["xy"]), cap)] = db_["xy"][:cap]
+                gb1 = (pool.block_view(a) if b1 is None
+                       else jax.tree.map(lambda x: x[i], b1))
+                gb2 = (pool.block_view(b) if b2 is None
+                       else jax.tree.map(lambda x: x[i], b2))
                 gm = matching_mod.guided_match_descriptors(
-                    jax.tree.map(lambda x: x[i], b1),
-                    jax.tree.map(lambda x: x[i], b2),
+                    gb1, gb2,
                     jnp.asarray(xy1), jnp.asarray(xy2),
                     jnp.asarray(res.F[i], jnp.float32),
                     max_epipolar_error=verify_opts.max_error_px,
