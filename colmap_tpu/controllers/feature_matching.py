@@ -49,6 +49,9 @@ class FeatureMatchingOptions:
     # fixed per-image descriptor capacity for the batched pair program
     feature_capacity: int = 8192
     block_pairs: int = 32  # pairs per device batch
+    # device-resident descriptor pool slots (images kept on device between
+    # pair blocks; FIFO re-upload beyond this). 268 MB HBM at cap 2048.
+    descriptor_pool_size: int = 1024
     min_num_inliers: int = 15
     # multi-device distribution (TPU analog of the reference's multi-GPU
     # matcher workers, controllers/feature_matching_utils.cc + comma GPU
@@ -160,8 +163,14 @@ class _DevicePool:
     def ensure(self, image_ids: Sequence[int], data: "_ImageData"):
         """Upload any images not yet pooled (one fused program per
         add_bucket of new images)."""
-        missing = [i for i in dict.fromkeys(image_ids)
-                   if i not in self.slot_of]
+        unique = list(dict.fromkeys(image_ids))
+        # touch already-pooled block images to the FIFO tail so eviction
+        # (while adding the missing ones) can only hit out-of-block images
+        present = [i for i in unique if i in self.slot_of]
+        if present:
+            pset = set(present)
+            self._fifo = [i for i in self._fifo if i not in pset] + present
+        missing = [i for i in unique if i not in self.slot_of]
         for start in range(0, len(missing), self.add_bucket):
             chunk = missing[start: start + self.add_bucket]
             m = len(chunk)
@@ -298,7 +307,12 @@ def match_and_verify_blocks(
             # single-device: device-resident descriptor pool (upload each
             # image once; the pair block gathers from the pool on device)
             if pool is None or pool.cap < cap:
-                pool = _DevicePool(cap, pool_size=1024)
+                # the pool must at least hold one block's unique images
+                # (eviction inside a block would drop slots the block
+                # still needs)
+                pool = _DevicePool(
+                    cap, pool_size=max(options.descriptor_pool_size,
+                                       2 * options.block_pairs))
             pool.ensure([im for ab in block for im in ab], data)
             if use_pallas is None:
                 import os

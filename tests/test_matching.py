@@ -204,3 +204,38 @@ def test_sharded_matching_controller_matches_single(rng):
     assert set(t1) == set(t8)
     for k in t1:
         np.testing.assert_array_equal(t1[k]["matches"], t8[k]["matches"])
+
+
+def test_pool_eviction_matches_unpooled(rng):
+    """A descriptor pool smaller than the image set (FIFO eviction +
+    re-upload) produces byte-identical matches to a pool that holds
+    everything — evicted images transparently re-enter the pool."""
+    from colmap_tpu.controllers import feature_matching as fm
+    from colmap_tpu.scene.database import Database
+    from colmap_tpu.scene.synthetic import (SyntheticDatasetOptions,
+                                            synthesize_dataset)
+
+    def run(pool_size):
+        db = Database(":memory:")
+        synthesize_dataset(SyntheticDatasetOptions(
+            num_images=9, num_points3D=120, point2D_stddev=0.2, seed=4), db)
+        ids = sorted(db.read_images().keys())
+        pairs = [(ids[i], ids[j]) for i in range(len(ids))
+                 for j in range(i + 1, len(ids))]
+        opts = fm.FeatureMatchingOptions(feature_capacity=256,
+                                         block_pairs=2,
+                                         descriptor_pool_size=pool_size)
+        db.conn.execute("DELETE FROM matches")
+        db.conn.execute("DELETE FROM two_view_geometries")
+        stats = fm.match_pairs(db, pairs, opts, seed=7)
+        tvgs = {k: db.read_two_view_geometry(*k)
+                for k in db.read_all_two_view_geometries()}
+        return stats, tvgs
+
+    s_small, t_small = run(4)   # forces eviction + re-upload
+    s_big, t_big = run(64)
+    assert s_small.num_matched_pairs == s_big.num_matched_pairs
+    assert set(t_small) == set(t_big)
+    for k in t_big:
+        np.testing.assert_array_equal(t_small[k]["matches"],
+                                      t_big[k]["matches"])
