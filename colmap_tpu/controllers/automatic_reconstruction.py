@@ -51,6 +51,12 @@ class AutomaticReconstructionOptions:
     sparse: bool = True
     dense: bool = False
     num_threads: int = -1
+    # VIDEO sequential-matching temporal window (reference
+    # SequentialMatchingOptions.overlap). Slow orbital / small-baseline
+    # footage needs a window wide enough that some pair clears the
+    # mapper's 16-degree init triangulation-angle gate with
+    # init_min_num_inliers correspondences.
+    video_overlap: int = 10
 
     def sift_options(self) -> sift_mod.SiftExtractionOptions:
         # reference quality scaling (automatic_reconstruction.cc)
@@ -105,6 +111,7 @@ def run_automatic_reconstruction(
         fm.match_sequential(
             database, match_opts,
             pairing=pairing_mod.SequentialPairingOptions(
+                overlap=options.video_overlap,
                 loop_detection=True),
             seed=seed)
     else:

@@ -477,6 +477,16 @@ def match_exhaustive(database: Database,
     return match_and_verify_blocks(database, blocks, options, seed)
 
 
+def _filter_existing(database: Database, pairs):
+    """Skip pairs with an existing two-view geometry (reference:
+    FeatureMatcherCache existing-match checks — re-running a matcher over
+    a partially matched database only matches the NEW pairs)."""
+    done = {tuple(sorted(k)) for k in database.read_all_two_view_geometries()}
+    if not done:
+        return pairs
+    return [p for p in pairs if tuple(sorted(p)) not in done]
+
+
 def match_sequential(database: Database,
                      options: FeatureMatchingOptions = FeatureMatchingOptions(),
                      pairing: Optional[pairing_mod.SequentialPairingOptions] = None,
@@ -491,6 +501,7 @@ def match_sequential(database: Database,
         loop = pairing_mod.sequential_loop_detection_pairs(
             database, ids, popts, seed=seed)
         pairs = sorted(set(pairs) | set(loop))
+    pairs = _filter_existing(database, pairs)
     return match_and_verify_blocks(
         database, _chunk(pairs, options.block_pairs), options, seed)
 

@@ -36,6 +36,10 @@ def main():
     p.add_argument("--height", type=int, default=480)
     p.add_argument("--quality", default="low",
                    help="automatic-reconstruction quality preset")
+    p.add_argument("--overlap", type=int, default=10,
+                   help="sequential matching temporal window; slow orbits "
+                        "need ~50 so some pair passes the 16-deg init "
+                        "tri-angle gate with >=100 inliers")
     p.add_argument("--workspace", default="/tmp/colmap_tpu_full_scale")
     p.add_argument("--max_rot_deg", type=float, default=1.0)
     p.add_argument("--max_center_err", type=float, default=0.05)
@@ -124,6 +128,7 @@ def main():
                 data_type=DataType.VIDEO,
                 quality=Quality[args.quality.upper()],
                 camera_model="PINHOLE", single_camera=True,
+                video_overlap=args.overlap,
                 camera_params=",".join(str(float(v)) for v in K)),
             mapper_options=IncrementalPipelineOptions(
                 snapshot_path=os.path.join(args.workspace, "snapshots"),
