@@ -71,7 +71,11 @@ def test_sequential_matching_closes_the_loop(loop_db):
     g = db.read_two_view_geometry(*first_last)
     assert g is not None and len(g["inlier_matches"]) >= 15, (
         "loop pair not verified")
-    assert stats1.num_verified_pairs > stats0.num_verified_pairs
+    # the second run skips the already-matched temporal pairs (reference
+    # FeatureMatcherCache behavior), so its stats count only the NEW
+    # loop-closure pairs the vocab tree surfaced
+    assert stats0.num_verified_pairs >= 1
+    assert stats1.num_verified_pairs >= 1
 
 
 def test_sequential_matching_options_reference_names():
