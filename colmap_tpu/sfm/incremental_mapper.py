@@ -676,29 +676,52 @@ class IncrementalMapper:
     # ------------------------------------------------------------------
     # initial pair
     # ------------------------------------------------------------------
-    def find_initial_image_pair(self, max_candidates: int = 500, exclude=()):
-        """Rank pairs by correspondence count; verify with the fused two-view
-        program; gate on inliers + triangulation angle + forward motion.
-
-        Reference: FindInitialImagePair + EstimateInitialTwoViewGeometry
-        (sfm/incremental_mapper.cc). The candidate budget must reach well
-        past the top correspondence ranks: on small-baseline sequences the
-        best-matched pairs all fail the 16-degree triangulation-angle gate
-        and the usable wide-baseline pairs rank in the hundreds (the
-        reference iterates image1/image2 rankings exhaustively under
-        init_max_trials, not a fixed pair cap).
+    def find_initial_image_pair(self, max_image1: int = 50,
+                                max_trials: int = 4000, exclude=()):
+        """Two-level candidate iteration, reference semantics
+        (FindInitialImagePair + FindFirstInitialImage /
+        FindSecondInitialImage, sfm/incremental_mapper.cc): rank image1 by
+        total correspondences, then for each image1 try EVERY partner in
+        correspondence order. A flat global top-K pair ranking cannot work
+        on dense sequences — at 1000 images x 50-frame overlap the
+        top ~45k pairs are all small-separation (they fail the 16-degree
+        triangulation-angle gate) and the usable wide-baseline partners of
+        any image1 rank at the tail of ITS partner list, not in the global
+        top ranks. `max_trials` bounds total verifications on degenerate
+        scenes.
         """
-        pairs = sorted(
-            self.cache.graph.image_pairs(),
-            key=lambda p: -self.cache.graph.num_correspondences_between(*p),
-        )[:max_candidates]
+        graph = self.cache.graph
+        partners: Dict[int, List[int]] = {}
+        strength: Dict[Tuple[int, int], int] = {}
+        for (a, b) in graph.image_pairs():
+            n = graph.num_correspondences_between(a, b)
+            strength[(a, b)] = n
+            partners.setdefault(a, []).append(b)
+            partners.setdefault(b, []).append(a)
+
+        def pair_n(a, b):
+            return strength.get((a, b), strength.get((b, a), 0))
+
+        img1_rank = sorted(
+            partners, key=lambda i: -sum(pair_n(i, j) for j in partners[i]))
         opts = tvg.TwoViewGeometryOptions(
             min_num_inliers=self.options.init_min_num_inliers,
             max_error_px=self.options.init_max_error,
             compute_relative_pose=True,
         )
         exclude = set(exclude)
-        for (i1, i2) in pairs:
+        trials = 0
+
+        def candidates():
+            nonlocal trials
+            for i1 in img1_rank[:max_image1]:
+                for i2 in sorted(partners[i1], key=lambda j: -pair_n(i1, j)):
+                    if trials >= max_trials:
+                        return
+                    trials += 1
+                    yield i1, i2
+
+        for (i1, i2) in candidates():
             if (i1, i2) in exclude or (i2, i1) in exclude:
                 continue
             g = self._estimate_pair_geometry(i1, i2, opts)
