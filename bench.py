@@ -437,13 +437,6 @@ def main():
     except Exception as e:
         results["matcher_pairs_per_s_16x4096sq"] = {"error": str(e)[:100]}
     try:
-        p = _resilient(bench_patch_match)
-        results["patch_match_depth_maps_per_s_640x480"] = dict(
-            p, unit="depth maps/s (640x480, 4 src, reference defaults)")
-    except Exception as e:
-        results["patch_match_depth_maps_per_s_640x480"] = {
-            "error": str(e)[:100]}
-    try:
         n_img = int(os.environ.get("BENCH_MAPPING_IMAGES", "200"))
         mp = _resilient(bench_mapping, n_img)
         results["mapping_images_registered_per_s"] = {
@@ -457,6 +450,34 @@ def main():
         }
     except Exception as e:
         results["mapping_images_registered_per_s"] = {"error": str(e)[:100]}
+
+    # PatchMatch runs LAST and in a SUBPROCESS: the dense solver can crash
+    # the tunneled TPU worker (observed kernel faults at reference window
+    # sizes on some days), and a crash poisons the parent process's jax
+    # client for every later block — isolation keeps the rest of the
+    # bench's metrics intact regardless.
+    try:
+        import subprocess
+        import sys
+
+        _wait_for_healthy_backend()
+        code = ("import json, bench; "
+                "print('PMRESULT ' + json.dumps(bench.bench_patch_match()))")
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True, timeout=1800,
+                           cwd=os.path.dirname(os.path.abspath(__file__)))
+        line = next((ln for ln in r.stdout.splitlines()
+                     if ln.startswith("PMRESULT ")), None)
+        if line is None:
+            raise RuntimeError(
+                "patch_match subprocess produced no result: "
+                + (r.stderr or r.stdout)[-120:])
+        p = json.loads(line[len("PMRESULT "):])
+        results["patch_match_depth_maps_per_s_640x480"] = dict(
+            p, unit="depth maps/s (640x480, 4 src, reference defaults)")
+    except Exception as e:
+        results["patch_match_depth_maps_per_s_640x480"] = {
+            "error": str(e)[:100]}
 
     # Long-form runs executed out-of-band (hours-scale; cannot run inside
     # the driver's bench window) publish their reports into the repo; embed
